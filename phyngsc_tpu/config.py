@@ -1,0 +1,65 @@
+"""Codec configuration.
+
+The reference hard-codes its geometry as compile-time constants (defs.h:20-21
+8 MiB buffers, phyNGSC.cpp:48 overlap=500, :51 records_per_th=100000,
+structures.h:25-26 Huffman caps 512/256, tasks.cpp:25-26 stat caps). Here they
+are a dataclass because block/batch geometry is the main TPU tuning knob
+(SURVEY §5 config note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    # --- container geometry -------------------------------------------------
+    #: Fixed output block size in bytes, header included (reference: 8 MiB,
+    #: defs.h:21). Sub-blocks crossing the boundary are split (phyNGSC.cpp:852).
+    block_size: int = 8 << 20
+    #: Target uncompressed bytes per sub-block (reference reads 8 MiB chunks,
+    #: defs.h:20). Each sub-block is one device batch.
+    subblock_input_bytes: int = 8 << 20
+    #: Max records per sub-block (reference: ~100k/rank-buffer, phyNGSC.cpp:51).
+    max_records_per_subblock: int = 1 << 17
+    #: Overlap window when aligning working regions to record starts
+    #: (reference: fixed 500 B, phyNGSC.cpp:48 — here configurable; it caps
+    #: the max record size at region boundaries).
+    region_overlap: int = 4096
+
+    # --- entropy coding -----------------------------------------------------
+    #: Maximum Huffman code length. Length-limited codes make device encode a
+    #: pure gather and decode a single 2^max_code_len LUT (the reference's
+    #: unbounded-depth trees + bit-walk, huffman.cpp:18-85, do not map to TPU).
+    max_code_len: int = 12
+    #: Records per decode substream. Each substream decodes independently
+    #: (vectorized across VPU lanes); its packed words start word-aligned and
+    #: its word offset is stored in the stream header.
+    records_per_substream: int = 64
+    #: Per-32-record block granularity used by the title field model
+    #: (reference DEFAULT_B_SIZE, tasks.cpp:26).
+    title_block_records: int = 32
+    #: Cap on per-position statistics for title char fields (reference caps at
+    #: 128 positions, tasks.cpp:25).
+    max_stat_positions: int = 128
+    #: Numeric title fields with (max-min) <= this use a shared Huffman tree
+    #: over values/deltas (reference HUF_GLOBAL_SIZE=512, structures.h:25).
+    numeric_huffman_range: int = 512
+
+    # --- parallelism --------------------------------------------------------
+    #: Name of the record (data-parallel) mesh axis.
+    data_axis: str = "data"
+    #: Name of the position (sequence-parallel) mesh axis.
+    seq_axis: str = "seq"
+
+    def __post_init__(self) -> None:
+        if self.max_code_len > 16:
+            raise ValueError("max_code_len > 16 breaks the 2-word bitpack invariant")
+        if self.block_size < (1 << 16):
+            raise ValueError("block_size too small for header framing")
+        if self.records_per_substream < 1:
+            raise ValueError("records_per_substream must be >= 1")
+
+
+DEFAULT_CONFIG = CodecConfig()
