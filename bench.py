@@ -1,0 +1,99 @@
+"""Benchmark: end-to-end FASTQ compression throughput on the current backend.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+Baseline: the reference phyNGSC is MPI-only and this image has no MPI, so the
+CPU baseline is measured by building the reference against the serial MPI
+shim in native/mpi_shim (single rank — the reference's own README numbers,
+~3.1 MB/s aggregate on 8 ranks for the 10 MB sample, are overhead-dominated
+and lower). If a measured value exists in BASELINE_MEASURED.json it is used;
+otherwise the documented derivation in BASELINE.md (3.1 MB/s) is the floor.
+
+Env knobs: BENCH_MB (input size, default 32), BENCH_VERIFY=0 to skip the
+round-trip check, BENCH_WRITERS (default 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+    from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+    mb = float(os.environ.get("BENCH_MB", "32"))
+    n_writers = int(os.environ.get("BENCH_WRITERS", "1"))
+    verify = os.environ.get("BENCH_VERIFY", "1") != "0"
+
+    # ERR005195-style 36 bp reads (~121 B/record)
+    n_records = int(mb * 1e6 / 121)
+    # uniform device batches: split by record count, not bytes
+    cfg = CodecConfig(
+        subblock_input_bytes=1 << 30,
+        max_records_per_subblock=1 << 16,
+        records_per_substream=64,
+    )
+    t0 = time.perf_counter()
+    data = synthesize_fastq(n_records, read_len=36, seed=7)
+    synth_s = time.perf_counter() - t0
+
+    # warm-up: compile every kernel shape on a small prefix + full run once
+    t0 = time.perf_counter()
+    comp = compress_bytes(data, cfg, n_writers)
+    warm_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    comp = compress_bytes(data, cfg, n_writers)
+    comp_s = time.perf_counter() - t0
+
+    ok = True
+    if verify:
+        back = decompress_bytes(comp)
+        ok = back == data
+
+    mbps = len(data) / comp_s / 1e6
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")) as f:
+            baseline = float(json.load(f)["compress_mbps"])
+    except (OSError, KeyError, ValueError):
+        baseline = 3.1  # BASELINE.md derived floor (README.md:79-91)
+
+    result = {
+        "metric": "fastq_compress_throughput",
+        "value": round(mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / baseline, 3),
+        "extra": {
+            "input_mb": round(len(data) / 1e6, 2),
+            "ratio": round(len(data) / len(comp), 3),
+            "roundtrip_ok": ok,
+            "warm_s": round(warm_s, 2),
+            "synth_s": round(synth_s, 2),
+            "backend": jax.default_backend(),
+            "writers": n_writers,
+            "baseline_mbps": baseline,
+        },
+    }
+    print(json.dumps(result))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,187 @@
+"""Quality stream codec: per-position Huffman models.
+
+Capability equivalent of the reference quality codec (C7): one entropy model
+per read position (`quality_stats[pos+1]` histograms + per-position trees,
+tasks.cpp:260-286, 590-621), including the extended alphabet produced by the
+DNA→quality ambiguity transfer (symbols >= 128, phyNGSC.cpp:552-588) — which
+is why quality must decode before DNA (tasks.cpp:986).
+
+TPU design: histograms are a chunked device reduction (ops/histogram); tables
+are length-limited canonical codes built on host (alphabet 256/position);
+encode is a per-position table gather + one bitpack; decode runs the
+substream-parallel LUT walk with tree index = read position. Positions past
+`max_trees` share the last tree (long-read guard; the reference allocates one
+tree per position unconditionally, tasks.cpp:590-605).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.ops import bitpack, histogram, huffman
+from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
+
+ALPHABET = 256
+MAX_TREES = 256
+
+
+@dataclasses.dataclass
+class QualityTables:
+    lens: np.ndarray        # (T, 256) uint8 code lengths (0 = absent)
+    codes: np.ndarray       # (T, 256) uint32 canonical codes
+    singletons: np.ndarray  # (T,) int32 — sym of zero-bit trees, else -1
+
+    @property
+    def n_trees(self) -> int:
+        return int(self.lens.shape[0])
+
+    def luts(self, lut_bits: int) -> np.ndarray:
+        sym, ln = huffman.decode_lut_batch(self.lens, lut_bits, self.singletons)
+        return np.asarray((ln.astype(np.int32) << 9) | sym.astype(np.int32))
+
+
+def valid_mask(lens: jnp.ndarray, L: int) -> jnp.ndarray:
+    return jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+
+
+def tree_of_position(pos: jnp.ndarray, n_trees: int) -> jnp.ndarray:
+    return jnp.minimum(pos, n_trees - 1)
+
+
+# -- analyze ----------------------------------------------------------------
+
+def analyze(qual: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """(R, L) symbols + (R,) record lengths → (min(L, MAX_TREES), 256) counts."""
+    R, L = qual.shape
+    v = valid_mask(lens, L)
+    counts = histogram.position_histogram(qual, v, ALPHABET)
+    if L > MAX_TREES:
+        head, tail = counts[: MAX_TREES - 1], counts[MAX_TREES - 1 :]
+        counts = jnp.concatenate([head, jnp.sum(tail, axis=0, keepdims=True)])
+    return counts
+
+
+def build_tables(counts: np.ndarray, cfg: CodecConfig) -> QualityTables:
+    counts = np.asarray(counts)
+    lens = huffman.build_code_lengths_batch(counts, cfg.max_code_len)
+    return QualityTables(
+        lens=lens,
+        codes=np.asarray(huffman.canonical_codes(lens)),
+        singletons=huffman.singleton_of_batch(counts),
+    )
+
+
+# -- encode -----------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("records_per_substream", "n_words_cap"))
+def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
+                  codes_tab: jnp.ndarray, lens_tab: jnp.ndarray,
+                  records_per_substream: int, n_words_cap: int):
+    """Pack the quality stream. Returns (words, sub_n_words, total_words).
+
+    words is a fixed `n_words_cap` buffer (static shape for jit); the caller
+    slices to total_words.
+    """
+    R, L = qual.shape
+    n_trees = lens_tab.shape[0]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    tree = tree_of_position(pos, n_trees)[None, :]
+    q = qual.astype(jnp.int32)
+    v = valid_mask(lens, L)
+    sym_codes = codes_tab[tree, q]
+    sym_lens = jnp.where(v, lens_tab[tree, q].astype(jnp.int32), 0)
+    lay = bitpack.substream_layout(sym_lens, records_per_substream)
+    words = bitpack.pack_bits_scatter(
+        jnp.where(v, sym_codes, 0), sym_lens, lay["bit_offsets"], n_words_cap
+    )
+    return words, lay["sub_n_words"], lay["total_words"]
+
+
+# -- decode -----------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("L", "records_per_substream"))
+def _steps_from_lens(lens: jnp.ndarray, L: int, records_per_substream: int):
+    """Map decode steps to (record, position) from per-record lengths.
+
+    Returns tree position per step (S, T), validity (S, T) and the
+    step index of each (r, p) for the inverse gather (R, L)."""
+    G = records_per_substream
+    R = lens.shape[0]
+    S = R // G
+    T = G * L
+    lens_sub = lens.reshape(S, G).astype(jnp.int32)
+    cum = jnp.cumsum(lens_sub, axis=1)                    # inclusive
+    before = cum - lens_sub                               # exclusive
+    t = jnp.arange(T, dtype=jnp.int32)
+    rec = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(cum)
+    rec_c = jnp.minimum(rec, G - 1)
+    pos = t[None, :] - jnp.take_along_axis(before, rec_c, axis=1)
+    step_valid = t[None, :] < cum[:, -1:]
+    # inverse map: step index of (r, p) = before[s, g] + p
+    step_of = (before.reshape(R)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :])
+    return pos, step_valid, step_of
+
+
+@functools.partial(jax.jit, static_argnames=("L", "records_per_substream", "lut_bits"))
+def decode_device(words: jnp.ndarray, sub_n_words: jnp.ndarray,
+                  lens: jnp.ndarray, luts: jnp.ndarray,
+                  L: int, records_per_substream: int, lut_bits: int):
+    """Inverse of encode_device: packed words → (R, L) symbols (pads zero)."""
+    G = records_per_substream
+    R = lens.shape[0]
+    S = R // G
+    T = G * L
+    n_trees = luts.shape[0]
+    sub_word_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(sub_n_words)[:-1].astype(jnp.int32)]
+    )
+    pos, step_valid, step_of = _steps_from_lens(lens, L, G)
+    tree_ids = tree_of_position(pos, n_trees)
+    syms = bitpack.unpack_substreams(
+        words, sub_word_start, luts, tree_ids, step_valid, T, lut_bits
+    )  # (S, T)
+    sub_of_r = jnp.arange(R, dtype=jnp.int32) // G
+    out = syms[sub_of_r[:, None], jnp.clip(step_of, 0, T - 1)]
+    return jnp.where(valid_mask(lens, L), out, 0).astype(jnp.uint8)
+
+
+# -- stream header ----------------------------------------------------------
+
+def write_header(bw: BitWriter, tables: QualityTables, sub_n_words: np.ndarray,
+                 total_words: int) -> None:
+    sub_n_words = np.asarray(sub_n_words)
+    bw.put_bits(tables.n_trees, 16)
+    bw.put_uint(int(total_words), 4)
+    bw.put_bits(sub_n_words.shape[0], 24)
+    w = bit_length(int(sub_n_words.max())) if sub_n_words.size else 1
+    bw.put_bits(w, 6)
+    for v in sub_n_words:
+        bw.put_bits(int(v), w)
+    for t in range(tables.n_trees):
+        huffman.store_table(bw, tables.lens[t], int(tables.singletons[t]))
+
+
+def read_header(br: BitReader):
+    n_trees = br.get_bits(16)
+    total_words = br.get_uint(4)
+    n_sub = br.get_bits(24)
+    w = br.get_bits(6)
+    sub_n_words = np.array([br.get_bits(w) for _ in range(n_sub)], dtype=np.int32)
+    if n_trees:
+        pairs = [huffman.load_table(br, ALPHABET) for _ in range(n_trees)]
+        lens = np.stack([p[0] for p in pairs])
+        singletons = np.array([p[1] for p in pairs], dtype=np.int32)
+    else:
+        lens = np.zeros((0, ALPHABET), np.uint8)
+        singletons = np.zeros(0, np.int32)
+    tables = QualityTables(
+        lens=lens, codes=np.asarray(huffman.canonical_codes(lens)),
+        singletons=singletons,
+    )
+    return tables, sub_n_words, total_words

@@ -1,0 +1,623 @@
+"""Title stream codec: separator-split field model.
+
+Capability equivalent of the reference title machinery (C4/C5): titles are
+split on the separator set " ._,=:/-#" (phyNGSC.cpp:208), and each field is
+modeled per sub-block as either
+
+- **numeric** — integer values coded as `value - min` or first value +
+  deltas (`delta - min_delta`), whichever is fewer bits — the reference's
+  value-vs-delta range rule (tasks.cpp:206-222); emitted at a fixed bit width
+  (wide values split into <= 16-bit chunks), or
+- **char** — one canonical Huffman tree per position (capped at
+  `max_stat_positions`, tasks.cpp:25; positions past the cap share an
+  overflow tree). Constant positions become zero-bit singleton trees, which
+  subsumes both the reference's Hamming mask (tasks.cpp:187-193) and its
+  constant-field class at zero payload cost.
+
+If records disagree on field count or separator sequence — the reference
+prints a warning and miscompresses (phyNGSC.cpp:417-421) — the model falls
+back to a single whole-title char field, which is the same machinery with
+F = 1 (strictly stronger than the reference).
+
+TPU split: tokenization/classification/reassembly are host numpy (irregular,
+string-heavy — SURVEY §7 step 3c); payload emission runs on device as two
+streams: a **fixed stream** (numeric chunks + variable field lengths; constant
+per-record stride → fully parallel extract on decode) and a **char stream**
+(per-position Huffman through the substream LUT walk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.ops import bitpack, huffman
+from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
+
+SEPARATORS = b" ._,=:/-#"
+_SEP_LOOKUP = np.zeros(256, dtype=bool)
+for _c in SEPARATORS:
+    _SEP_LOOKUP[_c] = True
+
+ALPHABET = 256
+KIND_NUMERIC = 0
+KIND_CHAR = 1
+NUM_VALUE = 0
+NUM_DELTA = 1
+MAX_NUMERIC_DIGITS = 18
+
+
+def _zigzag(n: int) -> int:
+    return (int(n) << 1) ^ (int(n) >> 63) if n < 0 else int(n) << 1
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Tokenized:
+    """Field spans for R titles under a consistent schema (or F == 1 raw)."""
+    n_fields: int
+    sep_chars: np.ndarray      # (F-1,) uint8
+    starts: np.ndarray         # (R, F) int32
+    lens: np.ndarray           # (R, F) int32
+
+
+def tokenize(titles: np.ndarray, tlens: np.ndarray) -> Tokenized:
+    """Split padded title matrix (R, TL) on separators; fall back to a single
+    raw field when the schema is inconsistent across records."""
+    R, TL = titles.shape
+    if R == 0:
+        return Tokenized(1, np.zeros(0, np.uint8),
+                         np.zeros((0, 1), np.int32), np.zeros((0, 1), np.int32))
+    valid = np.arange(TL)[None, :] < tlens[:, None]
+    sep = _SEP_LOOKUP[titles] & valid
+    counts = sep.sum(axis=1)
+    raw = Tokenized(
+        1, np.zeros(0, np.uint8),
+        np.zeros((R, 1), np.int32), tlens.astype(np.int32)[:, None],
+    )
+    if not np.all(counts == counts[0]):
+        return raw
+    nsep = int(counts[0])
+    if nsep == 0:
+        return raw
+    rows, cols = np.nonzero(sep)
+    cols = cols.reshape(R, nsep).astype(np.int32)
+    chars = titles[np.arange(R)[:, None], cols]
+    if not np.all(chars == chars[0]):
+        return raw
+    F = nsep + 1
+    starts = np.zeros((R, F), np.int32)
+    starts[:, 1:] = cols + 1
+    ends = np.concatenate([cols, tlens.astype(np.int32)[:, None]], axis=1)
+    return Tokenized(F, chars[0].astype(np.uint8), starts, ends - starts)
+
+
+def field_content(titles: np.ndarray, tok: Tokenized, f: int) -> np.ndarray:
+    """(R, W_f) padded byte matrix of field f."""
+    R = titles.shape[0]
+    W = int(tok.lens[:, f].max()) if R else 0
+    if W == 0:
+        return np.zeros((R, 0), np.uint8)
+    cols = tok.starts[:, f : f + 1] + np.arange(W, dtype=np.int32)[None, :]
+    mask = np.arange(W)[None, :] < tok.lens[:, f : f + 1]
+    out = titles[np.arange(R)[:, None], np.clip(cols, 0, titles.shape[1] - 1)]
+    out[~mask] = 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Field plans
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class NumericPlan:
+    kind: int            # KIND_NUMERIC
+    mode: int            # NUM_VALUE | NUM_DELTA
+    width: int           # payload bits per record (0 = constant)
+    base: int            # value mode: min; delta mode: min delta (signed)
+    first: int = 0       # delta mode: value of record 0
+
+    @property
+    def chunk_widths(self) -> List[int]:
+        if self.width == 0:
+            return []
+        n = (self.width + 15) // 16
+        return [self.width - 16 * (n - 1)] + [16] * (n - 1)
+
+
+@dataclasses.dataclass
+class CharPlan:
+    kind: int                  # KIND_CHAR
+    max_len: int               # W_f
+    const_len: int             # record length if constant, else -1
+    len_width: int             # bits for per-record length (0 if const)
+    tables_lens: np.ndarray    # (n_trees, 256) uint8
+    tables_singletons: np.ndarray  # (n_trees,) int32
+
+    @property
+    def n_positions(self) -> int:  # tracked positions (before overflow tree)
+        n = self.tables_lens.shape[0]
+        return n - 1 if self.max_len > n - 1 else n
+
+    @property
+    def has_overflow(self) -> bool:
+        return self.max_len > self.n_positions
+
+    def tree_of_pos(self, p: np.ndarray) -> np.ndarray:
+        return np.minimum(p, self.tables_lens.shape[0] - 1)
+
+
+def plan_numeric(content: np.ndarray, flens: np.ndarray) -> Optional[NumericPlan]:
+    R, W = content.shape
+    if R == 0 or W == 0 or W > MAX_NUMERIC_DIGITS:
+        return None
+    if np.any(flens < 1):
+        return None
+    mask = np.arange(W)[None, :] < flens[:, None]
+    digits = (content >= ord("0")) & (content <= ord("9"))
+    if not np.all(digits | ~mask):
+        return None
+    # no leading zeros unless the value is exactly "0"
+    leading_zero = (content[:, 0] == ord("0")) & (flens > 1)
+    if np.any(leading_zero):
+        return None
+    place = np.where(mask, flens[:, None] - 1 - np.arange(W)[None, :], 0)
+    vals = np.sum(
+        np.where(mask, (content - ord("0")).astype(np.int64), 0)
+        * (10 ** place.astype(np.int64)),
+        axis=1,
+    )
+    vmin, vmax = int(vals.min()), int(vals.max())
+    width_v = bit_length(vmax - vmin) if vmax > vmin else 0
+    bits_v = R * width_v
+    if R >= 2:
+        d = np.diff(vals)
+        dmin, dmax = int(d.min()), int(d.max())
+        width_d = bit_length(dmax - dmin) if dmax > dmin else 0
+        bits_d = (R - 1) * width_d + 128
+        if bits_d < bits_v:
+            return NumericPlan(KIND_NUMERIC, NUM_DELTA, width_d, dmin, int(vals[0]))
+    return NumericPlan(KIND_NUMERIC, NUM_VALUE, width_v, vmin)
+
+
+def plan_char(content: np.ndarray, flens: np.ndarray, cfg: CodecConfig) -> CharPlan:
+    R, W = content.shape
+    P = min(W, cfg.max_stat_positions)
+    mask = np.arange(W)[None, :] < flens[:, None]
+    n_trees = P + (1 if W > P else 0)
+    counts = np.zeros((n_trees, ALPHABET), np.int64)
+    if R and P:
+        m = mask[:, :P]
+        flat = np.minimum(np.arange(P)[None, :], n_trees - 1) * ALPHABET + content[:, :P].astype(np.int64)
+        counts[: P if W <= P else P, :] += np.bincount(
+            flat[m], minlength=P * ALPHABET
+        ).reshape(P, ALPHABET)[: counts.shape[0] if W <= P else P]
+    if W > P and R:
+        m = mask[:, P:]
+        counts[-1] = np.bincount(content[:, P:][m], minlength=ALPHABET)[:ALPHABET]
+    lens_tab = huffman.build_code_lengths_batch(counts, cfg.max_code_len)
+    singles = huffman.singleton_of_batch(counts)
+    if np.all(flens == flens[0]) if R else True:
+        cl, lw = int(flens[0]) if R else 0, 0
+    else:
+        cl, lw = -1, bit_length(int(flens.max()))
+    return CharPlan(KIND_CHAR, W, cl, lw, lens_tab, singles)
+
+
+@dataclasses.dataclass
+class TitlePlan:
+    tok_schema: Tokenized          # schema info (sep chars); spans unused on decode
+    fields: list                   # NumericPlan | CharPlan per field
+
+    @property
+    def n_fields(self) -> int:
+        return len(self.fields)
+
+    def char_tree_base(self, f: int) -> int:
+        base = 0
+        for g, p in enumerate(self.fields):
+            if g == f:
+                return base
+            if p.kind == KIND_CHAR:
+                base += p.tables_lens.shape[0]
+        return base
+
+    @property
+    def all_char_lens(self) -> np.ndarray:
+        mats = [p.tables_lens for p in self.fields if p.kind == KIND_CHAR]
+        return np.concatenate(mats) if mats else np.zeros((0, ALPHABET), np.uint8)
+
+    @property
+    def all_char_singletons(self) -> np.ndarray:
+        mats = [p.tables_singletons for p in self.fields if p.kind == KIND_CHAR]
+        return np.concatenate(mats) if mats else np.zeros(0, np.int32)
+
+    def luts(self, lut_bits: int) -> np.ndarray:
+        lens = self.all_char_lens
+        if lens.shape[0] == 0:
+            return np.zeros((1, 1 << lut_bits), np.int32)
+        sym, ln = huffman.decode_lut_batch(lens, lut_bits, self.all_char_singletons)
+        return np.asarray((ln.astype(np.int32) << 9) | sym.astype(np.int32))
+
+    @property
+    def fixed_widths(self) -> List[int]:
+        """Per-record fixed-stream chunk widths, field-major order."""
+        out: List[int] = []
+        for p in self.fields:
+            if p.kind == KIND_NUMERIC:
+                out.extend(p.chunk_widths)
+            elif p.const_len < 0:
+                out.append(p.len_width)
+        return out
+
+
+def analyze(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig) -> TitlePlan:
+    tok = tokenize(titles, tlens)
+    fields = []
+    for f in range(tok.n_fields):
+        content = field_content(titles, tok, f)
+        flens = tok.lens[:, f]
+        p = plan_numeric(content, flens)
+        if p is None:
+            p = plan_char(content, flens, cfg)
+        fields.append(p)
+    return TitlePlan(tok, fields)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+def _numeric_values(content: np.ndarray, flens: np.ndarray) -> np.ndarray:
+    W = content.shape[1]
+    mask = np.arange(W)[None, :] < flens[:, None]
+    place = np.where(mask, flens[:, None] - 1 - np.arange(W)[None, :], 0)
+    return np.sum(
+        np.where(mask, (content - ord("0")).astype(np.int64), 0)
+        * (10 ** place.astype(np.int64)),
+        axis=1,
+    )
+
+
+def _fixed_payload(plan: TitlePlan, titles: np.ndarray, tok: Tokenized) -> np.ndarray:
+    """(R, K) uint32 fixed-stream chunk values (field-major), widths constant."""
+    R = titles.shape[0]
+    cols = []
+    for f, p in enumerate(plan.fields):
+        if p.kind == KIND_NUMERIC:
+            if p.width == 0:
+                continue
+            vals = _numeric_values(field_content(titles, tok, f), tok.lens[:, f])
+            if p.mode == NUM_VALUE:
+                enc = vals - p.base
+            else:
+                d = np.concatenate([[0], np.diff(vals)])
+                enc = d - p.base
+                enc[0] = 0
+            enc = enc.astype(np.uint64)
+            for j, w in enumerate(p.chunk_widths):
+                shift = sum(p.chunk_widths[j + 1 :])
+                cols.append(((enc >> np.uint64(shift)) & np.uint64((1 << w) - 1)).astype(np.uint32))
+        elif p.const_len < 0:
+            cols.append(tok.lens[:, f].astype(np.uint32))
+    return np.stack(cols, axis=1) if cols else np.zeros((R, 0), np.uint32)
+
+
+def _char_symbols(plan: TitlePlan, titles: np.ndarray, tok: Tokenized):
+    """Char-stream per-symbol (codes, lens, tree_ids, valid) as (R, K) arrays,
+    K = sum of char-field max widths; plus per-record step counts."""
+    R = titles.shape[0]
+    code_cols, len_cols, tree_cols, valid_cols = [], [], [], []
+    for f, p in enumerate(plan.fields):
+        if p.kind != KIND_CHAR or p.max_len == 0:
+            continue
+        content = field_content(titles, tok, f)
+        flens = tok.lens[:, f]
+        W = p.max_len
+        base = plan.char_tree_base(f)
+        tree = base + p.tree_of_pos(np.arange(W))
+        lens_tab = plan.all_char_lens
+        codes_tab = np.asarray(huffman.canonical_codes(lens_tab)) \
+            if lens_tab.shape[0] else np.zeros((1, ALPHABET), np.uint32)
+        v = np.arange(W)[None, :] < flens[:, None]
+        c32 = content.astype(np.int64)
+        code_cols.append(np.where(v, codes_tab[tree[None, :], c32], 0).astype(np.uint32))
+        len_cols.append(np.where(v, lens_tab[tree[None, :], c32], 0).astype(np.int32))
+        tree_cols.append(np.broadcast_to(tree[None, :], (R, W)).astype(np.int32))
+        valid_cols.append(v)
+    if not code_cols:
+        z = np.zeros((R, 0))
+        return z.astype(np.uint32), z.astype(np.int32), z.astype(np.int32), z.astype(bool)
+    return (np.concatenate(code_cols, axis=1), np.concatenate(len_cols, axis=1),
+            np.concatenate(tree_cols, axis=1), np.concatenate(valid_cols, axis=1))
+
+
+@dataclasses.dataclass
+class EncodedTitle:
+    plan: TitlePlan
+    fixed_words: np.ndarray     # uint32
+    char_words: np.ndarray      # uint32
+    char_sub_n_words: np.ndarray
+
+    def byte_size(self) -> int:
+        return 4 * (self.fixed_words.shape[0] + self.char_words.shape[0])
+
+
+def encode(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
+           plan: Optional[TitlePlan] = None) -> EncodedTitle:
+    R = titles.shape[0]
+    if plan is None:
+        plan = analyze(titles, tlens, cfg)
+    tok = tokenize(titles, tlens)
+
+    # fixed stream: constant stride → offsets are an affine map
+    payload = _fixed_payload(plan, titles, tok)
+    widths = np.array(plan.fixed_widths, dtype=np.int32)
+    stride = int(widths.sum())
+    if stride:
+        prefix = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+        offs = (np.arange(R, dtype=np.int64)[:, None] * stride + prefix[None, :]).astype(np.int32)
+        n_words = (R * stride + 31) // 32
+        w = np.broadcast_to(widths[None, :], payload.shape).astype(np.int32)
+        fixed_words = np.asarray(bitpack.pack_bits_scatter(
+            jnp.array(payload), jnp.array(w), jnp.array(offs), n_words))
+    else:
+        fixed_words = np.zeros(0, np.uint32)
+
+    # char stream: substream layout + scatter pack
+    codes, clens, _, _ = _char_symbols(plan, titles, tok)
+    G = cfg.records_per_substream
+    pad = (-R) % G
+    if pad:
+        codes = np.vstack([codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
+        clens = np.vstack([clens, np.zeros((pad, clens.shape[1]), clens.dtype)])
+    if codes.shape[1]:
+        lay = bitpack.substream_layout(jnp.array(clens), G)
+        total = int(lay["total_words"])
+        char_words = np.asarray(bitpack.pack_bits_scatter(
+            jnp.array(codes), jnp.array(clens), lay["bit_offsets"], max(total, 1)))[:total]
+        sub_n_words = np.asarray(lay["sub_n_words"])
+    else:
+        char_words = np.zeros(0, np.uint32)
+        sub_n_words = np.zeros((R + pad) // G if G else 0, np.int32)
+    return EncodedTitle(plan, fixed_words, char_words, sub_n_words)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
+           char_sub_n_words: np.ndarray, R: int, cfg: CodecConfig):
+    """Reconstruct R title byte strings. Returns (titles (R, TL) uint8, tlens)."""
+    plan = enc_plan
+    widths = np.array(plan.fixed_widths, dtype=np.int32)
+    stride = int(widths.sum())
+    K = widths.shape[0]
+    if stride and R:
+        prefix = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+        offs = (np.arange(R, dtype=np.int64)[:, None] * stride + prefix[None, :]).astype(np.int32)
+        w = np.broadcast_to(widths[None, :], (R, K)).astype(np.int32)
+        chunks = np.asarray(bitpack.extract_fixed_width(
+            jnp.array(fixed_words), jnp.array(offs), jnp.array(w), R * K)).reshape(R, K)
+    else:
+        chunks = np.zeros((R, K), np.uint32)
+
+    # walk fixed stream: recover numeric values and variable field lengths
+    field_vals: dict = {}
+    field_lens = np.zeros((R, plan.n_fields), np.int32)
+    k = 0
+    for f, p in enumerate(plan.fields):
+        if p.kind == KIND_NUMERIC:
+            cw = p.chunk_widths
+            enc = np.zeros(R, np.uint64)
+            for j, wdt in enumerate(cw):
+                enc = (enc << np.uint64(wdt)) | chunks[:, k + j].astype(np.uint64)
+            k += len(cw)
+            if p.mode == NUM_VALUE:
+                vals = enc.astype(np.int64) + p.base
+            else:
+                d = enc.astype(np.int64) + p.base
+                if R:
+                    d[0] = 0
+                vals = np.cumsum(d) + p.first
+            field_vals[f] = vals
+            ndig = np.ones(R, np.int64)
+            vv = np.maximum(vals, 1)
+            ndig = np.floor(np.log10(vv.astype(np.float64))).astype(np.int64) + 1
+            # float log10 can be off by one at powers of 10 — correct exactly
+            too_big = vals >= 10 ** np.clip(ndig, 0, 18)
+            ndig = ndig + too_big
+            too_small = (vals < 10 ** np.clip(ndig - 1, 0, 18)) & (ndig > 1)
+            ndig = ndig - too_small
+            field_lens[:, f] = ndig.astype(np.int32)
+        else:
+            if p.const_len >= 0:
+                field_lens[:, f] = p.const_len
+            else:
+                field_lens[:, f] = chunks[:, k].astype(np.int32)
+                k += 1
+
+    # char stream decode
+    char_fields = [f for f, p in enumerate(plan.fields)
+                   if p.kind == KIND_CHAR and p.max_len > 0]
+    contents: dict = {}
+    if char_fields and R:
+        G = cfg.records_per_substream
+        Rp = R + ((-R) % G)
+        S = Rp // G
+        steps_per_rec = np.zeros(Rp, np.int64)
+        for f in char_fields:
+            steps_per_rec[:R] += field_lens[:, f]
+        # build (S, T) tree ids + validity, and (r, f, pos) → step maps
+        sub_tot = steps_per_rec.reshape(S, G).sum(axis=1)
+        T = int(sub_tot.max()) if S else 0
+        T = max(T, 1)
+        tree_ids = np.zeros((S, T), np.int32)
+        valid = np.zeros((S, T), bool)
+        rec_step0 = np.zeros(Rp, np.int64)
+        cums = np.cumsum(steps_per_rec.reshape(S, G), axis=1)
+        rec_step0.reshape(S, G)[:, 1:] = cums[:, :-1]
+        # per-record tree sequence: concat over char fields of
+        # base + tree_of_pos(0..len-1)
+        for f in char_fields:
+            p = plan.fields[f]
+            base = plan.char_tree_base(f)
+            fl = field_lens[:R, f]
+            before = np.zeros(R, np.int64)
+            for g in char_fields:
+                if g == f:
+                    break
+                before += field_lens[:R, g]
+            W = int(fl.max()) if R else 0
+            if W == 0:
+                continue
+            pos = np.arange(W, dtype=np.int64)
+            m = pos[None, :] < fl[:, None]
+            step = rec_step0[:R, None] + before[:, None] + pos[None, :]
+            srow = (np.arange(R) // G)[:, None].repeat(W, 1)
+            tree_ids[srow[m], step[m]] = base + p.tree_of_pos(pos)[None, :].repeat(R, 0)[m]
+            valid[srow[m], step[m]] = True
+        luts = plan.luts(cfg.max_code_len)
+        syms = np.asarray(bitpack.unpack_substreams(
+            jnp.array(char_words if char_words.size else np.zeros(1, np.uint32)),
+            jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             jnp.cumsum(jnp.array(char_sub_n_words))[:-1].astype(jnp.int32)]),
+            jnp.array(luts), jnp.array(tree_ids), jnp.array(valid),
+            T, cfg.max_code_len,
+        ))
+        for f in char_fields:
+            p = plan.fields[f]
+            fl = field_lens[:R, f]
+            before = np.zeros(R, np.int64)
+            for g in char_fields:
+                if g == f:
+                    break
+                before += field_lens[:R, g]
+            W = int(fl.max())
+            pos = np.arange(W, dtype=np.int64)
+            m = pos[None, :] < fl[:, None]
+            step = np.clip(rec_step0[:R, None] + before[:, None] + pos[None, :], 0, T - 1)
+            srow = (np.arange(R) // G)[:, None].repeat(W, 1)
+            c = np.zeros((R, W), np.uint8)
+            c[m] = syms[srow[m], step[m]].astype(np.uint8)
+            contents[f] = c
+
+    # reassembly
+    tlens = field_lens.sum(axis=1) + max(plan.n_fields - 1, 0)
+    TL = int(tlens.max()) if R else 0
+    titles = np.zeros((R, max(TL, 1)), np.uint8)
+    col0 = np.zeros(R, np.int64)
+    for f, p in enumerate(plan.fields):
+        fl = field_lens[:, f]
+        if p.kind == KIND_NUMERIC:
+            vals = field_vals[f]
+            W = int(fl.max()) if R else 0
+            if W:
+                pos = np.arange(W, dtype=np.int64)
+                m = pos[None, :] < fl[:, None]
+                place = np.where(m, fl[:, None] - 1 - pos[None, :], 0)
+                digs = (vals[:, None] // 10 ** place) % 10
+                cols = col0[:, None] + pos[None, :]
+                titles[np.arange(R)[:, None].repeat(W, 1)[m],
+                       cols[m]] = (digs[m] + ord("0")).astype(np.uint8)
+        else:
+            c = contents.get(f)
+            if c is not None:
+                W = c.shape[1]
+                pos = np.arange(W, dtype=np.int64)
+                m = pos[None, :] < fl[:, None]
+                cols = col0[:, None] + pos[None, :]
+                titles[np.arange(R)[:, None].repeat(W, 1)[m], cols[m]] = c[m]
+        col0 += fl
+        if f < plan.n_fields - 1:
+            titles[np.arange(R), col0] = plan.tok_schema.sep_chars[f]
+            col0 += 1
+    return titles[:, :TL] if TL else titles[:, :0], tlens.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Header serialization
+# ---------------------------------------------------------------------------
+
+def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
+    plan = enc.plan
+    bw.put_bits(plan.n_fields, 16)
+    for c in plan.tok_schema.sep_chars:
+        bw.put_byte(int(c))
+    for p in plan.fields:
+        bw.put_bit(p.kind)
+        if p.kind == KIND_NUMERIC:
+            bw.put_bit(p.mode)
+            bw.put_bits(p.width, 7)
+            if p.mode == NUM_VALUE:
+                bw.put_uint(p.base, 8)
+            else:
+                bw.put_uint(p.first, 8)
+                bw.put_uint(_zigzag(p.base), 8)
+        else:
+            bw.put_bits(p.max_len, 16)
+            if p.const_len >= 0:
+                bw.put_bit(1)
+                bw.put_bits(p.const_len, 16)
+            else:
+                bw.put_bit(0)
+                bw.put_bits(p.len_width, 5)
+            n_trees = p.tables_lens.shape[0]
+            bw.put_bits(n_trees, 16)
+            for t in range(n_trees):
+                huffman.store_table(bw, p.tables_lens[t], int(p.tables_singletons[t]))
+    bw.put_uint(enc.fixed_words.shape[0], 4)
+    bw.put_uint(enc.char_words.shape[0], 4)
+    sub = np.asarray(enc.char_sub_n_words)
+    bw.put_bits(sub.shape[0], 24)
+    w = bit_length(int(sub.max())) if sub.size else 1
+    bw.put_bits(w, 6)
+    for v in sub:
+        bw.put_bits(int(v), w)
+
+
+def read_header(br: BitReader):
+    F = br.get_bits(16)
+    seps = np.array([br.get_byte() for _ in range(max(F - 1, 0))], np.uint8)
+    fields = []
+    for _ in range(F):
+        kind = br.get_bit()
+        if kind == KIND_NUMERIC:
+            mode = br.get_bit()
+            width = br.get_bits(7)
+            if mode == NUM_VALUE:
+                base, first = br.get_uint(8), 0
+            else:
+                first = br.get_uint(8)
+                base = _unzigzag(br.get_uint(8))
+            fields.append(NumericPlan(KIND_NUMERIC, mode, width, base, first))
+        else:
+            max_len = br.get_bits(16)
+            if br.get_bit():
+                const_len, len_width = br.get_bits(16), 0
+            else:
+                const_len, len_width = -1, br.get_bits(5)
+            n_trees = br.get_bits(16)
+            pairs = [huffman.load_table(br, ALPHABET) for _ in range(n_trees)]
+            lens = np.stack([q[0] for q in pairs]) if n_trees else np.zeros((0, ALPHABET), np.uint8)
+            singles = np.array([q[1] for q in pairs], np.int32)
+            fields.append(CharPlan(KIND_CHAR, max_len, const_len, len_width, lens, singles))
+    n_fixed = br.get_uint(4)
+    n_char = br.get_uint(4)
+    n_sub = br.get_bits(24)
+    w = br.get_bits(6)
+    sub = np.array([br.get_bits(w) for _ in range(n_sub)], np.int32)
+    tok = Tokenized(F, seps, np.zeros((0, F), np.int32), np.zeros((0, F), np.int32))
+    return TitlePlan(tok, fields), n_fixed, n_char, sub

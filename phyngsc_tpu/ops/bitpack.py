@@ -1,0 +1,256 @@
+"""Device bit packing and unpacking — the TPU replacement for BitStream.
+
+The reference emits variable-length codes one at a time through a 32-bit word
+buffer (`BitStream::PutBits`, bit_stream.h:149-169) — inherently serial, and
+its decode bit-walks a tree per symbol (huffman.h:189-213). Here both
+directions are data-parallel:
+
+Encode (`pack_bits_*`): every symbol i owns the bit span
+[offset_i, offset_i + len_i) of the output, with offsets computed by exclusive
+prefix sum. A symbol's bits land in at most two consecutive uint32 words
+(len <= 16 < 32), so packing is either
+  - 'scatter': two scatter-adds with sorted indices (disjoint spans make
+    add == or), or
+  - 'gather' : the transpose — each output word gathers the <= K symbols whose
+    spans intersect it (searchsorted for the first, K-step unrolled OR-reduce).
+Both are pure jnp, fully vectorized, jit-compatible, identical outputs.
+
+Decode (`unpack_substreams`): entropy decode is sequential *per stream*, so the
+format cuts each stream into many independent substreams (contiguous record
+ranges, word-aligned starts; offsets stored in the stream header). Decode then
+vectorizes across substreams — each VPU lane walks one substream via a packed
+LUT (sym|len in one int32 → one gather per step) inside a `fori_loop`.
+
+Bit order is MSB-first within words and words are in-order, so the byte image
+equals the host BitWriter's layout for the same bit sequence (words serialized
+big-endian).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WORD_BITS = 32
+
+
+def pack_lut(sym: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+    """Pack decode-LUT (sym, len) pairs into one int32: (len << 9) | sym."""
+    return (length.astype(jnp.int32) << 9) | sym.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Layout: symbol bit offsets with word-aligned substream starts
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("records_per_substream",))
+def substream_layout(lens2d: jnp.ndarray, records_per_substream: int):
+    """Compute bit offsets for (R, L) per-symbol code lengths.
+
+    Records are grouped into substreams of `records_per_substream` consecutive
+    records (R must be a multiple; pad with zero-length records). Each
+    substream's bits start at a fresh word boundary so substreams decode
+    independently.
+
+    Returns dict with:
+      bit_offsets (R, L) int32 — absolute bit position of each symbol
+      sub_n_words (S,) int32  — words used by each substream
+      sub_word_start (S,) int32 — exclusive prefix sum of sub_n_words
+      total_words () int32
+    """
+    R, L = lens2d.shape
+    G = records_per_substream
+    assert R % G == 0, "pad R to a multiple of records_per_substream"
+    S = R // G
+    lens = lens2d.astype(jnp.int32)
+    rec_bits = jnp.sum(lens, axis=1)                      # (R,)
+    sub_bits = jnp.sum(rec_bits.reshape(S, G), axis=1)    # (S,)
+    sub_n_words = (sub_bits + WORD_BITS - 1) // WORD_BITS
+    sub_word_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(sub_n_words)[:-1].astype(jnp.int32)]
+    )
+    # within-substream exclusive cumsum over the (G*L,) flattened lens
+    flat = lens.reshape(S, G * L)
+    within = jnp.cumsum(flat, axis=1) - flat              # exclusive
+    bit_offsets = (within + (sub_word_start * WORD_BITS)[:, None]).reshape(R, L)
+    total_words = sub_word_start[-1] + sub_n_words[-1] if S > 0 else jnp.int32(0)
+    return {
+        "bit_offsets": bit_offsets.astype(jnp.int32),
+        "sub_n_words": sub_n_words.astype(jnp.int32),
+        "sub_word_start": sub_word_start.astype(jnp.int32),
+        "total_words": total_words.astype(jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+def _split_two_words(codes, lens, bit_in_word):
+    """Split each code into (hi, lo) contributions for words (w, w+1).
+
+    bit_in_word = offset & 31 (0 == MSB). Shift amounts stay in [0, 31];
+    len == 0 contributes nothing.
+    """
+    codes = codes.astype(jnp.uint32)
+    lens = lens.astype(jnp.int32)
+    r = WORD_BITS - bit_in_word  # bits available in the first word, in [1, 32]
+    fits = lens <= r
+    sh_hi_l = jnp.clip(r - lens, 0, 31)       # left shift when it fits
+    sh_hi_r = jnp.clip(lens - r, 0, 31)       # right shift when it spills
+    hi = jnp.where(fits, codes << sh_hi_l.astype(jnp.uint32),
+                   codes >> sh_hi_r.astype(jnp.uint32))
+    sh_lo = jnp.clip(WORD_BITS - (lens - r), 1, 31).astype(jnp.uint32)
+    lo = jnp.where(fits, jnp.uint32(0), codes << sh_lo)
+    zero = lens == 0
+    return jnp.where(zero, 0, hi), jnp.where(zero, 0, lo)
+
+
+@functools.partial(jax.jit, static_argnames=("n_words",))
+def pack_bits_scatter(codes: jnp.ndarray, lens: jnp.ndarray,
+                      bit_offsets: jnp.ndarray, n_words: int) -> jnp.ndarray:
+    """Scatter-mode bitpack: (N,) codes/lens/offsets -> (n_words,) uint32."""
+    codes = codes.reshape(-1)
+    lens = lens.reshape(-1)
+    bit_offsets = bit_offsets.reshape(-1)
+    w = (bit_offsets // WORD_BITS).astype(jnp.int32)
+    b = (bit_offsets % WORD_BITS).astype(jnp.int32)
+    hi, lo = _split_two_words(codes, lens, b)
+    words = jnp.zeros((n_words,), jnp.uint32)
+    # disjoint bit spans → add == or; indices are monotonically non-decreasing
+    words = words.at[w].add(hi, mode="drop", indices_are_sorted=True)
+    words = words.at[w + 1].add(lo, mode="drop", indices_are_sorted=True)
+    return words
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "max_per_word"))
+def pack_bits_gather(codes: jnp.ndarray, lens: jnp.ndarray,
+                     bit_offsets: jnp.ndarray, n_words: int,
+                     max_per_word: int = 33) -> jnp.ndarray:
+    """Gather-mode bitpack (scatter-free transpose of pack_bits_scatter).
+
+    Every output word OR-reduces the <= max_per_word symbols whose bit spans
+    intersect it. Requires: zero-length symbols are rare enough that no word
+    has more than max_per_word symbols *starting or spilling* into it — with
+    all lens >= 1, max_per_word = 33 is a hard bound (32 starts + 1 spill).
+    Callers with clustered zero-length symbols must pre-compact or use
+    scatter mode.
+    """
+    codes = codes.reshape(-1).astype(jnp.uint32)
+    lens = lens.reshape(-1).astype(jnp.int32)
+    bit_offsets = bit_offsets.reshape(-1).astype(jnp.int32)
+    n = codes.shape[0]
+    ends = bit_offsets + lens  # non-decreasing
+    word_start_bits = jnp.arange(n_words, dtype=jnp.int32) * WORD_BITS
+    # first symbol whose span may reach word w: first with end > 32w
+    first = jnp.searchsorted(ends, word_start_bits, side="right").astype(jnp.int32)
+
+    def contribution(k, acc):
+        i = jnp.clip(first + k, 0, n - 1)
+        o = bit_offsets[i]
+        l = lens[i]
+        c = codes[i]
+        s = o - word_start_bits          # start bit within this word (may be <0)
+        valid = (first + k < n) & (l > 0) & (s < WORD_BITS) & (o + l > word_start_bits)
+        sh = WORD_BITS - s - l           # in [-15, 31] for intersecting symbols
+        left = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+        right = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+        v = jnp.where(sh >= 0, c << left, c >> right)
+        return acc | jnp.where(valid, v, jnp.uint32(0))
+
+    words = jax.lax.fori_loop(
+        0, max_per_word, contribution, jnp.zeros((n_words,), jnp.uint32)
+    )
+    return words
+
+
+def words_to_bytes(words: np.ndarray) -> bytes:
+    """Serialize packed words big-endian (matches BitWriter's MSB-first bytes)."""
+    return np.asarray(words, dtype=">u4").tobytes()
+
+
+def bytes_to_words(data: bytes) -> np.ndarray:
+    pad = (-len(data)) % 4
+    if pad:
+        data = data + b"\x00" * pad
+    return np.frombuffer(data, dtype=">u4").astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "lut_bits"))
+def unpack_substreams(words: jnp.ndarray, sub_word_start: jnp.ndarray,
+                      luts: jnp.ndarray, tree_ids: jnp.ndarray,
+                      valid: jnp.ndarray, n_steps: int, lut_bits: int):
+    """Vectorized-over-substreams LUT decode.
+
+    words          (W,) uint32      packed stream
+    sub_word_start (S,) int32       word offset of each substream
+    luts           (T, 2**lut_bits) int32 packed (len << 9 | sym) decode tables
+    tree_ids       (S, n_steps) int32  which tree decodes step t of substream s
+    valid          (S, n_steps) bool   mask of real symbols (False → no advance)
+    Returns symbols (S, n_steps) int32.
+    """
+    S = sub_word_start.shape[0]
+    # sentinel pad: keeps gathers in-bounds for empty/boundary streams
+    # (zero-bit singleton trees can produce zero payload words)
+    words = jnp.concatenate([words, jnp.zeros(2, jnp.uint32)])
+    n_words = words.shape[0]
+    mask = jnp.uint32((1 << lut_bits) - 1)
+
+    def body(t, state):
+        word_idx, bit_idx, out = state
+        base = sub_word_start + word_idx                       # (S,)
+        w1 = words[jnp.clip(base, 0, n_words - 1)]
+        w2 = words[jnp.clip(base + 1, 0, n_words - 1)]
+        b = bit_idx.astype(jnp.uint32)
+        win = jnp.where(
+            bit_idx == 0, w1,
+            (w1 << b) | (w2 >> (jnp.uint32(WORD_BITS) - b)),
+        )
+        idx = (win >> jnp.uint32(WORD_BITS - lut_bits)) & mask  # (S,)
+        entry = luts[tree_ids[:, t], idx.astype(jnp.int32)]
+        sym = entry & 0x1FF
+        l = jnp.where(valid[:, t], entry >> 9, 0)
+        out = out.at[:, t].set(sym)
+        bit_idx = bit_idx + l
+        word_idx = word_idx + (bit_idx // WORD_BITS)
+        bit_idx = bit_idx % WORD_BITS
+        return word_idx, bit_idx, out
+
+    init = (
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((S, n_steps), jnp.int32),
+    )
+    _, _, out = jax.lax.fori_loop(0, n_steps, body, init)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def extract_fixed_width(words: jnp.ndarray, bit_offsets: jnp.ndarray,
+                        widths: jnp.ndarray, n_out: int):
+    """Fully parallel extraction of fixed/known-width fields.
+
+    When symbol widths are known up front (2-bit DNA, fixed-width numeric
+    fields), decode needs no sequential walk at all: every symbol's bit offset
+    comes from a prefix sum over the known widths and extraction is one
+    two-word gather per symbol. widths must be <= 16.
+    """
+    del n_out
+    o = bit_offsets.astype(jnp.int32)
+    w = o // WORD_BITS
+    b = (o % WORD_BITS).astype(jnp.uint32)
+    words = jnp.concatenate([words, jnp.zeros(2, jnp.uint32)])
+    n_words = words.shape[0]
+    w1 = words[jnp.clip(w, 0, n_words - 1)]
+    w2 = words[jnp.clip(w + 1, 0, n_words - 1)]
+    win = jnp.where(b == 0, w1, (w1 << b) | (w2 >> (jnp.uint32(WORD_BITS) - b)))
+    width = widths.astype(jnp.uint32)
+    shifted = win >> (jnp.uint32(WORD_BITS) - jnp.maximum(width, 1))
+    return jnp.where(width == 0, 0, shifted & ((jnp.uint32(1) << width) - 1)).astype(jnp.uint32)

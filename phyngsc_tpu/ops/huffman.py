@@ -1,0 +1,265 @@
+"""Length-limited canonical Huffman coding.
+
+Capability equivalent of the reference HuffmanEncoder (huffman.cpp:18-222) with
+a TPU-first contract:
+
+- Codes are **length-limited** (<= CodecConfig.max_code_len, default 12) and
+  **canonical**. The reference builds unbounded-depth trees and decodes by
+  bit-walking node pointers (huffman.h:189-213) — pointer chasing that cannot
+  vectorize. Canonical limited codes make device encode a pure table gather
+  and device decode a single 2^L-entry LUT lookup (the reference's
+  `speedup_tree` idea, huffman.cpp:166-187, taken to its fixed point: the LUT
+  covers *every* code, so the bit-walk disappears entirely).
+- Tables are serialized as code *lengths only* (canonical codes are derivable),
+  replacing the reference's pre-order bit-tree serialization
+  (huffman.cpp:88-118) — smaller and trivially parallel to rebuild.
+- Everything is a pure function of the histogram: no tree objects, no `static`
+  buffers (kills the latent race of huffman.cpp:191-222, SURVEY §5).
+
+Tree construction runs on host (alphabets are <= 256 symbols — tiny); numpy
+implementation here, with a batched native C++ fast path in native/ once
+profiling warrants it.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from phyngsc_tpu.utils.bitio import BitReader, BitWriter
+
+
+def _huffman_depths(freqs: np.ndarray) -> np.ndarray:
+    """Optimal (unbounded) code depths for the non-zero entries of `freqs`.
+
+    Zero-frequency symbols get depth 0 ("absent"), mirroring the reference's
+    zero-frequency compaction (huffman.cpp:24-38)."""
+    present = np.flatnonzero(freqs)
+    n = present.shape[0]
+    depths = np.zeros(freqs.shape[0], dtype=np.int32)
+    if n == 0:
+        return depths
+    if n == 1:
+        # Singleton alphabet → zero-bit code: the decoder reads the symbol
+        # from the table and consumes no payload bits. (The reference spends
+        # a full tree walk on this; constant positions/fields — the Hamming
+        # mask of tasks.cpp:187-193 — become free here.)
+        return depths
+    # heap of (freq, tiebreak, node_id); internal nodes get ids >= n
+    heap = [(int(freqs[s]), i, i) for i, s in enumerate(present)]
+    heapq.heapify(heap)
+    parent = np.full(2 * n - 1, -1, dtype=np.int64)
+    next_id = n
+    counter = n
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        parent[n1] = next_id
+        parent[n2] = next_id
+        heapq.heappush(heap, (f1 + f2, counter, next_id))
+        counter += 1
+        next_id += 1
+    # depth of each leaf = #hops to root
+    for i, s in enumerate(present):
+        d = 0
+        node = i
+        while parent[node] != -1:
+            node = parent[node]
+            d += 1
+        depths[s] = d
+    return depths
+
+
+def _limit_lengths(freqs: np.ndarray, depths: np.ndarray, max_len: int) -> np.ndarray:
+    """Clamp depths to max_len and repair the Kraft inequality.
+
+    Greedy repair (zlib-style): lengthen the cheapest (lowest-frequency)
+    over-budget codes until Kraft <= 1, then shorten the most frequent codes
+    while Kraft stays <= 1. Near-optimal in practice; exact package-merge can
+    replace this without format changes (lengths-only serialization).
+    """
+    lens = np.minimum(depths, max_len).astype(np.int64)
+    present = lens > 0
+    n = int(present.sum())
+    if n <= 1:  # empty or zero-bit singleton: nothing to repair
+        return lens.astype(np.uint8)
+    if n > (1 << max_len):
+        raise ValueError(f"alphabet of {n} symbols cannot fit {max_len}-bit codes")
+    target = 1 << max_len
+    kraft = int(np.sum(target >> lens[present]))
+    if kraft > target:
+        # lengthen low-frequency symbols first
+        order = np.argsort(freqs + np.where(present, 0, np.iinfo(np.int64).max // 2), kind="stable")
+        order = [s for s in order if present[s]]
+        while kraft > target:
+            moved = False
+            for s in order:
+                if lens[s] < max_len:
+                    kraft -= target >> (lens[s] + 1)
+                    lens[s] += 1
+                    moved = True
+                    if kraft <= target:
+                        break
+            if not moved:  # pragma: no cover - guarded by n <= 2**max_len
+                raise AssertionError("Kraft repair failed")
+    if kraft < target:
+        # shorten high-frequency symbols while the code stays decodable
+        order = np.argsort(-freqs + np.where(present, 0, np.iinfo(np.int64).max // 2), kind="stable")
+        order = [s for s in order if present[s]]
+        changed = True
+        while changed and kraft < target:
+            changed = False
+            for s in order:
+                while lens[s] > 1 and kraft + (target >> lens[s]) <= target:
+                    kraft += target >> lens[s]
+                    lens[s] -= 1
+                    changed = True
+    return lens.astype(np.uint8)
+
+
+def build_code_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
+    """Code length per symbol (0 = absent) from a histogram, length-limited.
+
+    A singleton alphabet yields all-zero lengths (zero-bit code); use
+    `singleton_of` to recover which symbol it is.
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
+    return _limit_lengths(freqs, _huffman_depths(freqs), max_len)
+
+
+def build_code_lengths_batch(freqs: np.ndarray, max_len: int) -> np.ndarray:
+    """(K, A) histograms -> (K, A) code lengths."""
+    freqs = np.asarray(freqs)
+    if freqs.shape[0] == 0:
+        return np.zeros(freqs.shape, dtype=np.uint8)
+    return np.stack([build_code_lengths(f, max_len) for f in freqs])
+
+
+def singleton_of(freqs: np.ndarray) -> int:
+    """The symbol of a single-symbol alphabet, else -1."""
+    present = np.flatnonzero(np.asarray(freqs))
+    return int(present[0]) if present.shape[0] == 1 else -1
+
+
+def singleton_of_batch(freqs: np.ndarray) -> np.ndarray:
+    return np.array([singleton_of(f) for f in freqs], dtype=np.int32)
+
+
+def canonical_codes(lens: np.ndarray) -> np.ndarray:
+    """Canonical code values from lengths; MSB-first emission order.
+
+    Codes are assigned in (length, symbol) order: shorter codes first,
+    ties broken by symbol id — so lengths alone fully determine the codebook.
+    Vectorized over trailing axis; accepts (A,) or (K, A).
+    """
+    lens = np.asarray(lens)
+    if lens.ndim == 1:
+        return _canonical_codes_1d(lens)
+    if lens.shape[0] == 0:
+        return np.zeros(lens.shape, dtype=np.uint32)
+    return np.stack([_canonical_codes_1d(l) for l in lens])
+
+
+def _canonical_codes_1d(lens: np.ndarray) -> np.ndarray:
+    lens = np.asarray(lens, dtype=np.int64)
+    max_len = int(lens.max()) if lens.size else 0
+    codes = np.zeros(lens.shape[0], dtype=np.uint32)
+    if max_len == 0:
+        return codes
+    bl_count = np.bincount(lens, minlength=max_len + 1)
+    bl_count[0] = 0
+    next_code = np.zeros(max_len + 2, dtype=np.int64)
+    for l in range(1, max_len + 1):
+        next_code[l] = (next_code[l - 1] + bl_count[l - 1]) << 1
+    for s in np.flatnonzero(lens):  # symbol order within each length
+        l = lens[s]
+        codes[s] = next_code[l]
+        next_code[l] += 1
+    return codes
+
+
+def decode_lut(lens: np.ndarray, lut_bits: int, singleton: int = -1):
+    """Build the full-width decode LUT: window of `lut_bits` -> (symbol, len).
+
+    For a code c of length l, all windows with prefix c decode to that symbol.
+    A zero-bit singleton tree fills every entry with (singleton, 0) — the
+    decode walk outputs it without consuming bits. Returns
+    (sym: (2**lut_bits,) int32, length: (2**lut_bits,) int32); unused windows
+    (incomplete codes) get len 0 — hitting one at decode is a stream
+    corruption signal.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    if lens.size and int(lens.max()) > lut_bits:
+        raise ValueError("lut_bits smaller than max code length")
+    size = 1 << lut_bits
+    sym = np.zeros(size, dtype=np.int32)
+    length = np.zeros(size, dtype=np.int32)
+    if singleton >= 0:
+        sym[:] = singleton
+        return sym, length
+    codes = _canonical_codes_1d(lens).astype(np.int64)
+    present = np.flatnonzero(lens)
+    # canonical codes of equal length are consecutive → fill via ranges
+    for s in present:
+        l = int(lens[s])
+        lo = int(codes[s]) << (lut_bits - l)
+        hi = lo + (1 << (lut_bits - l))
+        sym[lo:hi] = s
+        length[lo:hi] = l
+    return sym, length
+
+
+def decode_lut_batch(lens: np.ndarray, lut_bits: int, singletons=None):
+    if len(lens) == 0:
+        z = np.zeros((0, 1 << lut_bits), np.int32)
+        return z, z.copy()
+    if singletons is None:
+        singletons = np.full(len(lens), -1, dtype=np.int32)
+    syms, lengths = zip(
+        *(decode_lut(l, lut_bits, int(s)) for l, s in zip(lens, singletons))
+    )
+    return np.stack(syms), np.stack(lengths)
+
+
+# ---------------------------------------------------------------------------
+# Serialization: lengths-only table (replaces huffman.cpp:88-118 bit-tree).
+# Layout: [n_present: 16b] then
+#   n_present == 0: nothing
+#   n_present == 1: [symbol: 16b]                     (zero-bit singleton)
+#   else:           [present bitmap: A bits][4b (len-1) per present symbol]
+# ---------------------------------------------------------------------------
+
+def store_table(bw: BitWriter, lens: np.ndarray, singleton: int = -1) -> None:
+    lens = np.asarray(lens, dtype=np.int64)
+    if singleton >= 0:
+        bw.put_bits(1, 16)
+        bw.put_bits(singleton, 16)
+        return
+    present = np.flatnonzero(lens)
+    bw.put_bits(present.shape[0], 16)
+    if present.shape[0] == 0:
+        return
+    mask = np.zeros(lens.shape[0], dtype=np.uint8)
+    mask[present] = 1
+    bw.put_bits(int.from_bytes(np.packbits(mask).tobytes(), "big"),
+                8 * ((lens.shape[0] + 7) // 8))
+    for s in present:
+        bw.put_bits(int(lens[s]) - 1, 4)
+
+
+def load_table(br: BitReader, alphabet_size: int):
+    """Returns (lens, singleton): singleton >= 0 marks a zero-bit tree."""
+    n_present = br.get_bits(16)
+    lens = np.zeros(alphabet_size, dtype=np.uint8)
+    if n_present == 0:
+        return lens, -1
+    if n_present == 1:
+        return lens, br.get_bits(16)
+    nbytes = (alphabet_size + 7) // 8
+    mask = np.unpackbits(
+        np.frombuffer(br.get_bits(8 * nbytes).to_bytes(nbytes, "big"), np.uint8)
+    )[:alphabet_size].astype(bool)
+    for s in np.flatnonzero(mask):
+        lens[s] = br.get_bits(4) + 1
+    return lens, -1

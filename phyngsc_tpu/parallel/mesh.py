@@ -1,0 +1,95 @@
+"""Device mesh + sharded encode steps.
+
+The reference's process/thread hierarchy (MPI rank = file region, OpenMP
+thread = buffer chunk, SURVEY §1) maps onto a 2-D `jax.sharding.Mesh`:
+
+- `data` axis — records (data parallelism; the MPI-rank analogue). Each shard
+  owns a contiguous record range whose substreams are self-contained, so
+  per-shard packed words concatenate into one container stream.
+- `seq` axis — read positions (sequence parallelism). Per-position histograms
+  and code tables are independent across positions (tasks.cpp:590-605), so
+  the statistics pass shards cleanly along the position axis; the cross-chip
+  reduction is one `psum` over `data` (replacing the reference's
+  omp-critical merge, phyNGSC.cpp:622-653).
+
+`sharded_analyze` runs on the full (data × seq) mesh; `sharded_encode` runs
+data-parallel (packing needs each record's whole row). Both are pure
+`shard_map`s over jitted kernels from ops/ and models/.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.models import quality as qmod
+from phyngsc_tpu.ops import bitpack, histogram
+
+
+def make_mesh(n_data: int, n_seq: int = 1,
+              devices: Optional[Sequence] = None,
+              cfg: Optional[CodecConfig] = None) -> Mesh:
+    cfg = cfg or CodecConfig()
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    need = n_data * n_seq
+    if devices.size < need:
+        raise ValueError(f"need {need} devices, have {devices.size}")
+    grid = devices[:need].reshape(n_data, n_seq)
+    return Mesh(grid, (cfg.data_axis, cfg.seq_axis))
+
+
+def sharded_analyze(mesh: Mesh, cfg: Optional[CodecConfig] = None):
+    """(R, L) symbols + (R,) lens → (L, 256) global per-position histogram.
+
+    R shards over `data`, L shards over `seq`; result is psum-reduced over
+    `data` and re-assembled over `seq` (each seq shard computed its own
+    position slice)."""
+    cfg = cfg or CodecConfig()
+    da, sa = cfg.data_axis, cfg.seq_axis
+
+    def body(sym_shard, valid_shard):
+        local = histogram.position_histogram(sym_shard, valid_shard, 256)
+        return jax.lax.psum(local, da)
+
+    fn = shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(P(da, sa), P(da, sa)),
+        out_specs=P(sa, None),
+    )
+    return jax.jit(fn)
+
+
+def sharded_quality_encode(mesh: Mesh, records_per_substream: int,
+                           n_words_cap_per_shard: int,
+                           cfg: Optional[CodecConfig] = None):
+    """Data-parallel quality encode: each shard packs its record range.
+
+    Returns jitted fn: (qual (R, L), lens (R,), codes (T,256), lens_tab
+    (T,256)) → (words (n_data * cap,), sub_n_words (S,), totals (n_data,)).
+    Substreams are shard-local, so the global stream is the concatenation of
+    shard word buffers; `totals` lets the host trim each shard's cap slack
+    (the container stores per-substream word counts, so decode never sees the
+    slack)."""
+    cfg = cfg or CodecConfig()
+    da, sa = cfg.data_axis, cfg.seq_axis
+
+    def body(qual_shard, lens_shard, codes_tab, lens_tab):
+        words, sub_n_words, total = qmod.encode_device(
+            qual_shard, lens_shard, codes_tab, lens_tab,
+            records_per_substream, n_words_cap_per_shard,
+        )
+        return words, sub_n_words, total.reshape(1)
+
+    fn = shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(P(da, None), P(da), P(), P()),
+        out_specs=(P(da), P(da), P(da)),
+    )
+    return jax.jit(fn)

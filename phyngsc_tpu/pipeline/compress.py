@@ -1,0 +1,102 @@
+"""Compression driver (C1 equivalent of phyNGSC.cpp main()).
+
+Single-host entry: partition the input into writer regions (C2), index
+records (C3), encode sub-blocks on device, frame into fixed-size blocks
+(C11), and write blocks at deterministic offsets with a footer TOC (C12).
+Multi-host operation shares this code path: each host runs its writers and
+the offset protocol exchanges per-writer block counts (parallel/offsets.py)
+instead of the local prefix sum done here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.container import block as blockmod
+from phyngsc_tpu.container import footer as footermod
+from phyngsc_tpu.parallel.partition import partition_regions, split_subblocks
+from phyngsc_tpu.pipeline import subblock as sbmod
+from phyngsc_tpu.utils.fastq import index_records
+
+
+@dataclasses.dataclass
+class CompressStats:
+    """Per-writer report, the analogue of the reference's exit table
+    (COMP_TIME / N_BLOCK / N_SUBBLOCKS, phyNGSC.cpp:1062-1066)."""
+    writer_id: int
+    seconds: float
+    n_blocks: int
+    n_subblocks: int
+    input_bytes: int
+    output_bytes: int
+
+
+def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
+                   n_writers: int = 1, stats_out: Optional[list] = None) -> bytes:
+    cfg = cfg or CodecConfig()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    regions = partition_regions(buf, n_writers, cfg)
+
+    per_writer_blocks: List[List[blockmod.Block]] = []
+    n_subblocks_total = 0
+    for reg in regions:
+        t0 = time.perf_counter()
+        sub_payloads: List[bytes] = []
+        if reg.end > reg.start:
+            idx = index_records(buf[reg.start : reg.end])
+            # shift spans to absolute offsets
+            for name in ("title_start", "title_end", "seq_start", "seq_end",
+                         "qual_start", "qual_end"):
+                setattr(idx, name, getattr(idx, name) + reg.start)
+            rec_sizes = (idx.qual_end + 1 - idx.title_start).astype(np.int64)
+            for sl in split_subblocks(rec_sizes, cfg):
+                sub_payloads.append(sbmod.encode_subblock(buf, idx.slice(sl.start, sl.stop), cfg))
+        blocks = blockmod.pack_blocks(reg.writer_id, sub_payloads, cfg.block_size)
+        per_writer_blocks.append(blocks)
+        n_subblocks_total += len(sub_payloads)
+        if stats_out is not None:
+            stats_out.append(CompressStats(
+                writer_id=reg.writer_id,
+                seconds=time.perf_counter() - t0,
+                n_blocks=len(blocks),
+                n_subblocks=len(sub_payloads),
+                input_bytes=reg.end - reg.start,
+                output_bytes=sum(len(b.payload) for b in blocks),
+            ))
+
+    # deterministic placement: writer-major order (the offset prefix-sum over
+    # a single host degenerates to concatenation; multi-host uses
+    # parallel/offsets.py to agree on the same order globally)
+    cbo: List[int] = []
+    out = bytearray()
+    for blocks in per_writer_blocks:
+        for b in blocks:
+            cbo.append(b.writer_id)
+            out += b.payload
+    foot = footermod.Footer(
+        fastq_size=len(data),
+        block_size=cfg.block_size,
+        n_writers=n_writers,
+        overlaps=[r.overlap_used for r in regions],
+        writer_block_counts=[len(b) for b in per_writer_blocks],
+        last_block_sizes=[len(b[-1].payload) if b else 0 for b in per_writer_blocks],
+        cbo=cbo,
+        records_per_substream=cfg.records_per_substream,
+        max_code_len=cfg.max_code_len,
+    )
+    out += footermod.write_footer(foot)
+    return bytes(out)
+
+
+def compress_file(in_path: str, out_path: str, cfg: Optional[CodecConfig] = None,
+                  n_writers: int = 1, stats_out: Optional[list] = None) -> None:
+    with open(in_path, "rb") as f:
+        data = f.read()
+    out = compress_bytes(data, cfg, n_writers, stats_out)
+    with open(out_path, "wb") as f:
+        f.write(out)

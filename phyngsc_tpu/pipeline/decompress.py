@@ -1,0 +1,56 @@
+"""Decompression driver — the component the reference never shipped (C15:
+Makefile:7 declares phyNGSD but phyNGSD.cpp is absent). Reconstructed from
+the container spec: read the trailing footer, walk blocks in file order using
+the per-writer last-block sizes, stitch split sub-blocks, decode each
+sub-block (quality before DNA), and emit writer regions in writer order —
+which restores the exact original byte stream because regions tile the input
+(parallel/partition.py)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.container import block as blockmod
+from phyngsc_tpu.container import footer as footermod
+from phyngsc_tpu.pipeline import subblock as sbmod
+
+
+def decompress_bytes(data: bytes, cfg: Optional[CodecConfig] = None) -> bytes:
+    foot = footermod.read_footer(data)
+    cfg = cfg or CodecConfig()
+    if (foot.records_per_substream != cfg.records_per_substream
+            or foot.max_code_len != cfg.max_code_len):
+        cfg = CodecConfig(
+            records_per_substream=foot.records_per_substream,
+            max_code_len=foot.max_code_len,
+        )
+    sizes = foot.block_sizes_in_file_order()
+    blocks = []
+    off = 0
+    for size, wid in zip(sizes, foot.cbo):
+        blocks.append((wid, data[off : off + size]))
+        off += size
+
+    per_writer: dict = {w: [] for w in range(foot.n_writers)}
+    for wid, payload in blockmod.iter_subblocks(iter(blocks)):
+        per_writer[wid].append(sbmod.decode_subblock(payload, cfg))
+
+    out = bytearray()
+    for w in range(foot.n_writers):
+        for chunk in per_writer[w]:
+            out += chunk
+    if len(out) != foot.fastq_size:
+        raise ValueError(
+            f"decompressed size {len(out)} != footer fastq_size {foot.fastq_size}"
+        )
+    return bytes(out)
+
+
+def decompress_file(in_path: str, out_path: str,
+                    cfg: Optional[CodecConfig] = None) -> None:
+    with open(in_path, "rb") as f:
+        data = f.read()
+    out = decompress_bytes(data, cfg)
+    with open(out_path, "wb") as f:
+        f.write(out)

@@ -1,0 +1,261 @@
+"""Sub-block encode/decode: one device batch of records → self-contained bytes.
+
+This is the per-sub-block orchestration the reference spreads across its
+OpenMP regions (analyze :439-687, store sections :690-727, meta :717-742,
+concat :804-840 in phyNGSC.cpp). Section layout (each u32-length-prefixed):
+
+    [meta][title][quality][dna]
+
+meta    := R:u32, L:u16, flags:u8 (bit0 variable_length, bit1 is_delta),
+           [len_width:u8 + bit-packed per-record lengths]  (if variable)
+title   := title.write_header || fixed words || char words
+quality := quality.write_header || words
+dna     := dna.write_header || words
+
+Decode order is meta → title → quality → dna: the quality stream carries the
+ambiguity transfer (symbols >= 128), which determines each record's DNA
+symbol count (tasks.cpp:986 mirror).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.models import dna, quality, title
+from phyngsc_tpu.ops import bitpack
+from phyngsc_tpu.utils.bitio import BitReader, BitWriter
+from phyngsc_tpu.utils.fastq import RecordIndex
+
+FLAG_VARIABLE_LENGTH = 1
+FLAG_DELTA = 2
+
+
+def _gather_matrix(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                   width: int) -> np.ndarray:
+    """(R, width) uint8 padded gather of byte spans."""
+    R = starts.shape[0]
+    if R == 0 or width == 0:
+        return np.zeros((R, max(width, 1)), np.uint8)
+    cols = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    mask = np.arange(width)[None, :] < lens[:, None]
+    out = buf[np.clip(cols, 0, buf.shape[0] - 1)]
+    out[~mask] = 0
+    return out
+
+
+def _pack_fixed_np(values: np.ndarray, width: int) -> bytes:
+    """Host fixed-width bit pack via np.packbits (MSB-first)."""
+    if width == 0 or values.shape[0] == 0:
+        return b""
+    v = values.astype(np.uint64)
+    bits = (v[:, None] >> np.arange(width - 1, -1, -1, dtype=np.uint64)[None, :]) & 1
+    return np.packbits(bits.astype(np.uint8).reshape(-1)).tobytes()
+
+
+def _unpack_fixed_np(data: bytes, width: int, n: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, np.int64)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))[: n * width]
+    bits = bits.reshape(n, width).astype(np.int64)
+    return (bits << np.arange(width - 1, -1, -1, dtype=np.int64)[None, :]).sum(axis=1)
+
+
+def _word_cap(R: int, L: int, G: int) -> int:
+    """Static worst-case packed size: <= 16 bits/symbol + one alignment word
+    per substream."""
+    return (R * L) // 2 + (R // G) + 8
+
+
+def _pad_records(R: int, G: int) -> int:
+    return R + ((-R) % G)
+
+
+def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> bytes:
+    R = idx.n_records
+    G = cfg.records_per_substream
+    lens_np = idx.seq_len.astype(np.int32)
+    L = int(lens_np.max()) if R else 1
+    Rp = _pad_records(R, G)
+
+    seq_np = _gather_matrix(buf, idx.seq_start, lens_np.astype(np.int64), L)
+    qual_np = _gather_matrix(buf, idx.qual_start, lens_np.astype(np.int64), L)
+    tlens_np = (idx.title_end - idx.title_start).astype(np.int32)
+    TL = int(tlens_np.max()) if R else 1
+    titles_np = _gather_matrix(buf, idx.title_start, tlens_np.astype(np.int64), TL)
+
+    if Rp != R:
+        pad = Rp - R
+        seq_np = np.vstack([seq_np, np.zeros((pad, L), np.uint8)])
+        qual_np = np.vstack([qual_np, np.zeros((pad, L), np.uint8)])
+        lens_pad = np.concatenate([lens_np, np.zeros(pad, np.int32)])
+    else:
+        lens_pad = lens_np
+
+    is_delta = dna.detect_delta(seq_np[:R], lens_np)
+    seq_j = jnp.array(seq_np)
+    lens_j = jnp.array(lens_pad)
+    if is_delta:
+        seq_j = dna.delta_translate(seq_j, lens_j)
+    qual_j = jnp.array(qual_np)
+
+    # --- analyze + encode on device ---------------------------------------
+    qual_t, keep, _ = dna.transfer_ambiguity(seq_j, qual_j, lens_j)
+    q_counts = quality.analyze(qual_t, lens_j)
+    d_counts = dna.analyze(seq_j, keep)
+    q_tables = quality.build_tables(np.asarray(q_counts), cfg)
+    d_plan = dna.plan(np.asarray(d_counts), cfg)
+
+    cap = _word_cap(Rp, L, G)
+    q_words, q_sub, q_total = quality.encode_device(
+        qual_t, lens_j, jnp.array(q_tables.codes), jnp.array(q_tables.lens), G, cap
+    )
+    d_words, d_sub, d_total = dna.encode_device(
+        seq_j, keep, jnp.array(d_plan.codes_tab), jnp.array(d_plan.lens_tab),
+        d_plan.mode, G, cap,
+    )
+    t_enc = title.encode(titles_np, tlens_np, cfg)
+
+    # --- sections ----------------------------------------------------------
+    meta = BitWriter()
+    meta.put_uint(R, 4)
+    meta.put_bits(L, 16)
+    variable = bool(R) and not bool(np.all(lens_np == lens_np[0]))
+    flags = (FLAG_VARIABLE_LENGTH if variable else 0) | (FLAG_DELTA if is_delta else 0)
+    meta.put_byte(flags)
+    if variable:
+        w = max(1, int(lens_np.max()).bit_length())
+        meta.put_byte(w)
+        meta.flush()
+        meta.put_bytes(_pack_fixed_np(lens_np, w))
+    meta.flush()
+
+    tbw = BitWriter()
+    title.write_header(tbw, t_enc)
+    tbw.flush()
+    title_sec = (
+        tbw.getvalue()
+        + bitpack.words_to_bytes(t_enc.fixed_words)
+        + bitpack.words_to_bytes(t_enc.char_words)
+    )
+
+    qbw = BitWriter()
+    quality.write_header(qbw, q_tables, np.asarray(q_sub), int(q_total))
+    qbw.flush()
+    quality_sec = qbw.getvalue() + bitpack.words_to_bytes(
+        np.asarray(q_words)[: int(q_total)]
+    )
+
+    dbw = BitWriter()
+    dna.write_header(dbw, d_plan, np.asarray(d_sub), int(d_total), is_delta)
+    dbw.flush()
+    dna_sec = dbw.getvalue() + bitpack.words_to_bytes(
+        np.asarray(d_words)[: int(d_total)]
+    )
+
+    out = bytearray()
+    for sec in (meta.getvalue(), title_sec, quality_sec, dna_sec):
+        out += len(sec).to_bytes(4, "big")
+        out += sec
+    return bytes(out)
+
+
+def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
+    """Inverse of encode_subblock → FASTQ text bytes."""
+    sections = []
+    off = 0
+    for _ in range(4):
+        n = int.from_bytes(data[off : off + 4], "big")
+        sections.append(data[off + 4 : off + 4 + n])
+        off += 4 + n
+    meta_sec, title_sec, quality_sec, dna_sec = sections
+
+    br = BitReader(meta_sec)
+    R = br.get_uint(4)
+    L = br.get_bits(16)
+    flags = br.get_byte()
+    variable = bool(flags & FLAG_VARIABLE_LENGTH)
+    is_delta = bool(flags & FLAG_DELTA)
+    if variable:
+        w = br.get_byte()
+        br.align()
+        lens_np = _unpack_fixed_np(br.get_bytes(((R * w) + 7) // 8), w, R).astype(np.int32)
+    else:
+        br.align()
+        lens_np = np.full(R, L, np.int32) if R else np.zeros(0, np.int32)
+
+    G = cfg.records_per_substream
+    Rp = _pad_records(R, G)
+    lens_pad = np.concatenate([lens_np, np.zeros(Rp - R, np.int32)])
+    lens_j = jnp.array(lens_pad)
+
+    # title
+    br = BitReader(title_sec)
+    t_plan, n_fixed, n_char, t_sub = title.read_header(br)
+    br.align()
+    fixed_words = bitpack.bytes_to_words(br.get_bytes(4 * n_fixed))
+    char_words = bitpack.bytes_to_words(br.get_bytes(4 * n_char))
+    titles_np, tlens_np = title.decode(t_plan, fixed_words, char_words, t_sub, R, cfg)
+
+    # quality (before DNA — carries the ambiguity transfer)
+    br = BitReader(quality_sec)
+    q_tables, q_sub, q_total = quality.read_header(br)
+    br.align()
+    q_words = bitpack.bytes_to_words(br.get_bytes(4 * q_total))
+    qual_t = quality.decode_device(
+        jnp.array(q_words), jnp.array(q_sub), lens_j,
+        jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
+    )
+
+    # dna
+    br = BitReader(dna_sec)
+    d_plan, d_sub, d_total, is_delta_hdr = dna.read_header(br)
+    br.align()
+    d_words = bitpack.bytes_to_words(br.get_bytes(4 * d_total))
+    keep = (np.asarray(qual_t) < 128) & (
+        np.arange(L)[None, :] < lens_pad[:, None]
+    )
+    if d_plan.mode == dna.MODE_PLAIN:
+        dna_syms = dna.decode_plain(jnp.array(d_words), jnp.array(d_sub),
+                                    jnp.array(keep), L, G)
+    else:
+        dna_syms = dna.decode_huffman(
+            jnp.array(d_words), jnp.array(d_sub), jnp.array(keep),
+            jnp.array(d_plan.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
+        )
+    seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens_j)
+    if is_delta or is_delta_hdr:
+        seq_j = dna.delta_untranslate(seq_j, lens_j)
+    seq_np = np.asarray(seq_j)[:R]
+    qual_np = np.asarray(qual_j)[:R]
+
+    # reassemble FASTQ text (vectorized scatter)
+    rec_bytes = tlens_np.astype(np.int64) + 1 + lens_np.astype(np.int64) + 1 + 2 + lens_np.astype(np.int64) + 1
+    offs = np.concatenate([[0], np.cumsum(rec_bytes)])
+    out = np.zeros(int(offs[-1]), np.uint8)
+
+    def scatter(mat, mlens, base):
+        Wm = mat.shape[1]
+        if Wm == 0 or R == 0:
+            return
+        pos = np.arange(Wm, dtype=np.int64)
+        m = pos[None, :] < mlens[:, None]
+        flat = (base[:, None] + pos[None, :])[m]
+        out[flat] = mat[:R][m]
+
+    base_t = offs[:-1]
+    scatter(titles_np, tlens_np.astype(np.int64), base_t)
+    out[base_t + tlens_np] = 0x0A
+    base_s = base_t + tlens_np + 1
+    scatter(seq_np, lens_np.astype(np.int64), base_s)
+    out[base_s + lens_np] = 0x0A
+    base_p = base_s + lens_np + 1
+    out[base_p] = ord("+")
+    out[base_p + 1] = 0x0A
+    base_q = base_p + 2
+    scatter(qual_np, lens_np.astype(np.int64), base_q)
+    out[base_q + lens_np] = 0x0A
+    return out.tobytes()

@@ -115,18 +115,53 @@ def index_records(buf: np.ndarray, *, validate: bool = True) -> RecordIndex:
     return idx
 
 
+def _is_record_start(buf: np.ndarray, pos: int) -> bool:
+    """Structurally validate a candidate record start: '@'-title line, bare
+    '+' third line, quality length == sequence length, and the following byte
+    (if any) opens another record. The reference's scan (phyNGSC.cpp:131-156)
+    accepts the first '\\n@' pair, which misfires on '@' (phred 31) inside
+    quality lines; this check is strictly stronger."""
+    n = buf.shape[0]
+    if pos >= n or buf[pos] != TITLE_MARK:
+        return False
+    line_ends = []
+    p = pos
+    for _ in range(4):
+        nxt = np.flatnonzero(buf[p : min(p + (1 << 20), n)] == NEWLINE)
+        if nxt.shape[0] == 0:
+            # ran off the buffer: incomplete trailing record, cannot fully
+            # validate — accept; index_records drops partial tails anyway
+            return True
+        e = p + int(nxt[0])
+        line_ends.append(e)
+        p = e + 1
+    t_end, s_end, p_end, q_end = line_ends
+    if p_end - s_end != 2 or buf[s_end + 1] != PLUS_MARK:
+        return False
+    if (q_end - p_end) != (s_end - t_end):
+        return False
+    if p < n and buf[p] != TITLE_MARK:
+        return False
+    return True
+
+
 def align_region_start(buf: np.ndarray, start: int, overlap: int) -> int:
-    """Scan forward from `start` (within `overlap` bytes) for the first record
-    start — a '\\n@' pair, generalized from phyNGSC.cpp:131-156. Returns the
-    byte offset of the '@', or -1 if none found in the window. `start == 0` is
-    always a record start (reference: rank 0 starts at byte 0)."""
+    """Scan forward from `start` (within `overlap` bytes) for the first
+    *validated* record start following a newline (generalized from
+    phyNGSC.cpp:131-156; see `_is_record_start` for why validation is
+    needed). Returns the byte offset of the '@', or -1 if none found in the
+    window. `start == 0` is always a record start (reference: rank 0 starts
+    at byte 0)."""
     if start == 0:
         return 0
-    window = np.asarray(buf[max(0, start - 1) : start + overlap], dtype=np.uint8)
+    lo = max(0, start - 1)
+    window = np.asarray(buf[lo : start + overlap], dtype=np.uint8)
     hits = np.flatnonzero((window[:-1] == NEWLINE) & (window[1:] == TITLE_MARK))
-    if hits.shape[0] == 0:
-        return -1
-    return max(0, start - 1) + int(hits[0]) + 1
+    for h in hits:
+        cand = lo + int(h) + 1
+        if _is_record_start(buf, cand):
+            return cand
+    return -1
 
 
 # ---------------------------------------------------------------------------
@@ -152,36 +187,68 @@ def synthesize_fastq(
     phred+33 qualities skewed to 'I'; 'SRR' = 76 bp, 'length=' titles,
     leading-N reads."""
     rng = np.random.default_rng(seed)
-    lens = np.full(n_records, read_len, dtype=np.int64)
+    R = n_records
+    lens = np.full(R, read_len, dtype=np.int64)
     if variable_length:
-        lens = rng.integers(max(1, read_len - 8), read_len + 1, size=n_records)
+        lens = rng.integers(max(1, read_len - 8), read_len + 1, size=R)
+    L = read_len
 
-    out = []
     # Quality distribution: heavily skewed to high scores like the samples.
     qual_alphabet = np.arange(33, 74, dtype=np.uint8)  # '!'..'I'
     probs = np.linspace(0.2, 4.0, qual_alphabet.shape[0]) ** 4
     probs /= probs.sum()
 
-    for i in range(n_records):
-        L = int(lens[i])
-        seq = _DNA[rng.integers(0, 4, size=L)]
-        qual = rng.choice(qual_alphabet, size=L, p=probs)
-        # sprinkle IUPAC ambiguity codes with reference-transferable quality
-        amb = rng.random(L) < ambiguity_rate
-        if amb.any():
-            seq[amb] = _IUPAC[rng.integers(0, len(_IUPAC), size=int(amb.sum()))]
-            qual[amb] = rng.integers(33, 41, size=int(amb.sum())).astype(np.uint8)
-        if style == "SRR":
-            title = f"@SRR013667.{i + 1} 30PTAAAXX:5:1:{rng.integers(0, 8)}:{rng.integers(0, 2048)} length={L}"
-            if rng.random() < 0.5:
-                seq[0] = ord("N")
-                qual[0] = ord("#")
-        else:
-            title = f"@ERR005195.{i + 1} BGI-FC30BFTAAXX_5_1_000:{rng.integers(0, 2048)}/2"
-        out.append(
-            title.encode() + b"\n" + seq.tobytes() + b"\n+\n" + qual.tobytes() + b"\n"
-        )
-    return b"".join(out)
+    seq = _DNA[rng.integers(0, 4, size=(R, L))]
+    qual = qual_alphabet[rng.choice(qual_alphabet.shape[0], size=(R, L), p=probs)]
+    amb = rng.random((R, L)) < ambiguity_rate
+    if amb.any():
+        seq[amb] = _IUPAC[rng.integers(0, len(_IUPAC), size=int(amb.sum()))]
+        qual[amb] = rng.integers(33, 41, size=int(amb.sum())).astype(np.uint8)
+
+    if style == "SRR":
+        a = rng.integers(0, 8, size=R)
+        b = rng.integers(0, 2048, size=R)
+        titles = [
+            f"@SRR013667.{i + 1} 30PTAAAXX:5:1:{a[i]}:{b[i]} length={lens[i]}".encode()
+            for i in range(R)
+        ]
+        lead_n = rng.random(R) < 0.5
+        seq[lead_n, 0] = ord("N")
+        qual[lead_n, 0] = ord("#")
+    else:
+        b = rng.integers(0, 2048, size=R)
+        titles = [
+            f"@ERR005195.{i + 1} BGI-FC30BFTAAXX_5_1_000:{b[i]}/2".encode()
+            for i in range(R)
+        ]
+
+    tlens = np.array([len(t) for t in titles], dtype=np.int64)
+    rec_bytes = tlens + 1 + lens + 1 + 2 + lens + 1
+    offs = np.concatenate([[0], np.cumsum(rec_bytes)])
+    out = np.zeros(int(offs[-1]), np.uint8)
+    pos = np.arange(L, dtype=np.int64)
+    m = pos[None, :] < lens[:, None]
+    base_t = offs[:-1]
+    # titles (ragged) — short Python loop only over the title bytes
+    tcat = np.frombuffer(b"".join(titles), np.uint8)
+    toffs = np.concatenate([[0], np.cumsum(tlens)])
+    tpos_max = int(tlens.max()) if R else 0
+    tp = np.arange(tpos_max, dtype=np.int64)
+    tm = tp[None, :] < tlens[:, None]
+    src = (toffs[:-1][:, None] + tp[None, :])[tm]
+    dst = (base_t[:, None] + tp[None, :])[tm]
+    out[dst] = tcat[src]
+    out[base_t + tlens] = NEWLINE
+    base_s = base_t + tlens + 1
+    out[(base_s[:, None] + pos[None, :])[m]] = seq[m]
+    out[base_s + lens] = NEWLINE
+    base_p = base_s + lens + 1
+    out[base_p] = PLUS_MARK
+    out[base_p + 1] = NEWLINE
+    base_q = base_p + 2
+    out[(base_q[:, None] + pos[None, :])[m]] = qual[m]
+    out[base_q + lens] = NEWLINE
+    return out.tobytes()
 
 
 def records_to_text(titles, seqs, quals) -> bytes:

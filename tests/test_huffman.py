@@ -1,0 +1,134 @@
+import numpy as np
+import pytest
+
+from phyngsc_tpu.ops.huffman import (
+    build_code_lengths,
+    build_code_lengths_batch,
+    canonical_codes,
+    decode_lut,
+    load_table,
+    store_table,
+)
+from phyngsc_tpu.utils.bitio import BitReader, BitWriter
+
+
+def kraft(lens):
+    lens = np.asarray(lens, dtype=np.int64)
+    return float(np.sum(np.where(lens > 0, 2.0 ** (-lens.astype(np.float64)), 0.0)))
+
+
+def entropy_bits(freqs):
+    f = np.asarray(freqs, dtype=np.float64)
+    p = f[f > 0] / f.sum()
+    return float(-(p * np.log2(p)).sum() * f.sum())
+
+
+def encoded_bits(freqs, lens):
+    return float(np.sum(np.asarray(freqs, dtype=np.float64) * lens))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("alpha", [2, 5, 41, 256])
+def test_lengths_near_entropy(seed, alpha):
+    rng = np.random.default_rng(seed)
+    freqs = np.zeros(256, dtype=np.int64)
+    idx = rng.choice(256, size=alpha, replace=False)
+    freqs[idx] = rng.zipf(1.5, size=alpha)
+    lens = build_code_lengths(freqs, max_len=12)
+    assert np.all((lens[idx] >= 1) & (lens[idx] <= 12))
+    assert np.all(lens[freqs == 0] == 0)
+    assert kraft(lens) <= 1.0 + 1e-12
+    h = entropy_bits(freqs)
+    got = encoded_bits(freqs, lens)
+    # within Huffman bound + small limiting penalty
+    assert got <= h + freqs.sum() * 1.05 + 16
+
+
+def test_skewed_hits_length_limit():
+    # geometric frequencies would want depth ~30 unbounded
+    freqs = np.zeros(64, dtype=np.int64)
+    freqs[:32] = 2 ** np.arange(32, 0, -1, dtype=np.int64)
+    lens = build_code_lengths(freqs, max_len=12)
+    assert int(lens.max()) == 12
+    assert kraft(lens) <= 1.0 + 1e-12
+
+
+def test_single_and_empty_alphabet():
+    from phyngsc_tpu.ops.huffman import singleton_of
+
+    lens = build_code_lengths(np.zeros(16, dtype=np.int64), max_len=12)
+    assert np.all(lens == 0)
+    assert singleton_of(np.zeros(16, dtype=np.int64)) == -1
+    f = np.zeros(16, dtype=np.int64)
+    f[7] = 100
+    # singleton alphabet → zero-bit code, identity via singleton_of
+    lens = build_code_lengths(f, max_len=12)
+    assert np.all(lens == 0)
+    assert singleton_of(f) == 7
+
+
+def test_full_alphabet_at_limit():
+    # 256 equiprobable symbols with max_len 8 → exactly 8 bits each
+    freqs = np.ones(256, dtype=np.int64)
+    lens = build_code_lengths(freqs, max_len=8)
+    assert np.all(lens == 8)
+    assert abs(kraft(lens) - 1.0) < 1e-12
+
+
+def test_canonical_prefix_free():
+    rng = np.random.default_rng(3)
+    freqs = rng.integers(0, 1000, size=100).astype(np.int64)
+    lens = build_code_lengths(freqs, max_len=12)
+    codes = canonical_codes(lens)
+    present = np.flatnonzero(lens)
+    # pad all codes to 12 bits and check intervals are disjoint
+    spans = []
+    for s in present:
+        l = int(lens[s])
+        lo = int(codes[s]) << (12 - l)
+        spans.append((lo, lo + (1 << (12 - l))))
+    spans.sort()
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert b1 <= a2, "overlapping code intervals → not prefix free"
+
+
+def test_decode_lut_inverts_codes():
+    rng = np.random.default_rng(4)
+    freqs = rng.integers(1, 50, size=40).astype(np.int64)
+    lens = build_code_lengths(freqs, max_len=10)
+    codes = canonical_codes(lens)
+    sym, length = decode_lut(lens, lut_bits=10)
+    for s in np.flatnonzero(lens):
+        l = int(lens[s])
+        window = int(codes[s]) << (10 - l)
+        assert sym[window] == s and length[window] == l
+        # any suffix garbage still decodes to the same symbol
+        assert sym[window + (1 << (10 - l)) - 1] == s
+
+
+def test_table_serialization_roundtrip():
+    from phyngsc_tpu.ops.huffman import singleton_of
+
+    rng = np.random.default_rng(5)
+    for alpha in [0, 1, 17, 256]:
+        freqs = np.zeros(256, dtype=np.int64)
+        if alpha:
+            idx = rng.choice(256, size=alpha, replace=False)
+            freqs[idx] = rng.integers(1, 10_000, size=alpha)
+        lens = build_code_lengths(freqs, max_len=12)
+        single = singleton_of(freqs)
+        bw = BitWriter()
+        store_table(bw, lens, single)
+        bw.flush()
+        got_lens, got_single = load_table(BitReader(bw.getvalue()), 256)
+        np.testing.assert_array_equal(got_lens, lens)
+        assert got_single == single
+
+
+def test_batch_build():
+    rng = np.random.default_rng(6)
+    freqs = rng.integers(0, 100, size=(5, 64)).astype(np.int64)
+    lens = build_code_lengths_batch(freqs, max_len=12)
+    assert lens.shape == (5, 64)
+    for k in range(5):
+        np.testing.assert_array_equal(lens[k], build_code_lengths(freqs[k], 12))

@@ -1,0 +1,105 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.models import quality
+from phyngsc_tpu.utils.bitio import BitReader, BitWriter
+
+CFG = CodecConfig()
+LUT_BITS = CFG.max_code_len
+
+
+def roundtrip(qual, lens, G):
+    R, L = qual.shape
+    counts = quality.analyze(jnp.array(qual), jnp.array(lens))
+    tables = quality.build_tables(np.asarray(counts), CFG)
+    cap = R * L  # generous cap
+    words, sub_n_words, total_words = quality.encode_device(
+        jnp.array(qual), jnp.array(lens),
+        jnp.array(tables.codes), jnp.array(tables.lens), G, cap,
+    )
+    # serialize header + words through the container path
+    bw = BitWriter()
+    quality.write_header(bw, tables, np.asarray(sub_n_words), int(total_words))
+    bw.flush()
+    tables2, sub_n_words2, total_words2 = quality.read_header(BitReader(bw.getvalue()))
+    np.testing.assert_array_equal(tables2.lens, tables.lens)
+    np.testing.assert_array_equal(sub_n_words2, np.asarray(sub_n_words))
+    assert total_words2 == int(total_words)
+
+    luts = tables2.luts(LUT_BITS)
+    got = quality.decode_device(
+        words[: int(total_words)], jnp.array(sub_n_words2), jnp.array(lens),
+        jnp.array(luts), L, G, LUT_BITS,
+    )
+    return np.asarray(got)
+
+
+def test_fixed_length_roundtrip():
+    rng = np.random.default_rng(0)
+    R, L, G = 64, 36, 8
+    qual = rng.integers(33, 74, size=(R, L)).astype(np.uint8)
+    lens = np.full(R, L, dtype=np.int32)
+    got = roundtrip(qual, lens, G)
+    np.testing.assert_array_equal(got, qual)
+
+
+def test_variable_length_roundtrip():
+    rng = np.random.default_rng(1)
+    R, L, G = 48, 20, 8
+    lens = rng.integers(1, L + 1, size=R).astype(np.int32)
+    qual = rng.integers(33, 74, size=(R, L)).astype(np.uint8)
+    qual[~np.asarray(quality.valid_mask(jnp.array(lens), L))] = 0
+    got = roundtrip(qual, lens, G)
+    np.testing.assert_array_equal(got, qual)
+
+
+def test_ambiguity_extended_alphabet_roundtrip():
+    # symbols >= 128 (transferred IUPAC codes) must survive
+    rng = np.random.default_rng(2)
+    R, L, G = 32, 12, 8
+    qual = rng.integers(33, 74, size=(R, L)).astype(np.uint8)
+    amb = rng.random((R, L)) < 0.1
+    qual[amb] = rng.integers(128, 248, size=int(amb.sum())).astype(np.uint8)
+    lens = np.full(R, L, dtype=np.int32)
+    got = roundtrip(qual, lens, G)
+    np.testing.assert_array_equal(got, qual)
+
+
+def test_constant_quality_roundtrip():
+    # single-symbol alphabet per position → 1-bit codes
+    R, L, G = 16, 8, 8
+    qual = np.full((R, L), ord("I"), dtype=np.uint8)
+    lens = np.full(R, L, dtype=np.int32)
+    got = roundtrip(qual, lens, G)
+    np.testing.assert_array_equal(got, qual)
+
+
+def test_long_read_tree_cap():
+    # positions beyond MAX_TREES share the last tree
+    rng = np.random.default_rng(3)
+    R, G = 8, 8
+    L = quality.MAX_TREES + 40
+    qual = rng.integers(33, 43, size=(R, L)).astype(np.uint8)
+    lens = np.full(R, L, dtype=np.int32)
+    counts = quality.analyze(jnp.array(qual), jnp.array(lens))
+    assert counts.shape[0] == quality.MAX_TREES
+    got = roundtrip(qual, lens, G)
+    np.testing.assert_array_equal(got, qual)
+
+
+def test_compression_beats_raw():
+    rng = np.random.default_rng(4)
+    R, L, G = 256, 36, 8
+    # skewed like real phred: mostly 'I'
+    pool = np.array([ord("I")] * 30 + list(range(33, 55)), dtype=np.uint8)
+    qual = pool[rng.integers(0, pool.shape[0], size=(R, L))]
+    lens = np.full(R, L, dtype=np.int32)
+    counts = quality.analyze(jnp.array(qual), jnp.array(lens))
+    tables = quality.build_tables(np.asarray(counts), CFG)
+    _, _, total_words = quality.encode_device(
+        jnp.array(qual), jnp.array(lens),
+        jnp.array(tables.codes), jnp.array(tables.lens), G, R * L,
+    )
+    assert int(total_words) * 4 < R * L * 0.6  # < 4.8 bits/symbol here

@@ -1,0 +1,82 @@
+"""End-to-end byte-identity round-trip — the north star (SURVEY §7 step 4)."""
+
+import numpy as np
+import pytest
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.pipeline.compress import compress_bytes
+from phyngsc_tpu.pipeline.decompress import decompress_bytes
+from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+CFG = CodecConfig(
+    subblock_input_bytes=64 << 10,  # small sub-blocks to exercise batching
+    records_per_substream=16,
+)
+
+
+def check(data: bytes, n_writers: int = 1, cfg: CodecConfig = CFG):
+    comp = compress_bytes(data, cfg, n_writers)
+    back = decompress_bytes(comp)
+    assert back == data
+    return comp
+
+
+def test_err_style_single_writer():
+    data = synthesize_fastq(2000, read_len=36, seed=1)
+    comp = check(data)
+    assert len(comp) < len(data)  # actually compresses
+
+
+def test_err_style_multi_writer():
+    data = synthesize_fastq(3000, read_len=36, seed=2)
+    check(data, n_writers=4)
+
+
+def test_srr_style_76bp():
+    data = synthesize_fastq(800, read_len=76, style="SRR", seed=3)
+    check(data)
+
+
+def test_variable_length_records():
+    data = synthesize_fastq(1500, read_len=40, seed=4, variable_length=True)
+    check(data, n_writers=2)
+
+
+def test_heavy_ambiguity():
+    data = synthesize_fastq(500, read_len=36, seed=5, ambiguity_rate=0.2)
+    check(data)
+
+
+def test_multiple_subblocks_per_writer():
+    cfg = CodecConfig(subblock_input_bytes=8 << 10, records_per_substream=16)
+    data = synthesize_fastq(1000, read_len=36, seed=6)
+    comp = check(data, n_writers=2, cfg=cfg)
+
+
+def test_block_splitting():
+    # tiny blocks force sub-block splits across block boundaries
+    cfg = CodecConfig(block_size=1 << 16, subblock_input_bytes=64 << 10,
+                      records_per_substream=16)
+    data = synthesize_fastq(2000, read_len=36, seed=7)
+    check(data, n_writers=2, cfg=cfg)
+
+
+def test_single_record_file():
+    data = synthesize_fastq(1, read_len=36, seed=8)
+    check(data)
+
+
+def test_more_writers_than_records():
+    data = synthesize_fastq(3, read_len=36, seed=9)
+    check(data, n_writers=8)
+
+
+def test_solid_delta_roundtrip():
+    rng = np.random.default_rng(10)
+    recs = []
+    for i in range(200):
+        colors = (rng.integers(0, 4, size=35) + ord("0")).astype(np.uint8).tobytes()
+        qual = bytes(rng.integers(33, 64, size=36).astype(np.uint8))
+        recs.append(b"@SOLID." + str(i).encode() + b"\nT" + colors + b"\n+\n" + qual + b"\n")
+    data = b"".join(recs)
+    check(data)

@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.models import title
+from phyngsc_tpu.utils.bitio import BitReader, BitWriter
+
+CFG = CodecConfig(records_per_substream=8)
+
+
+def pack_titles(strings):
+    R = len(strings)
+    TL = max((len(s) for s in strings), default=0)
+    mat = np.zeros((R, max(TL, 1)), np.uint8)
+    lens = np.zeros(R, np.int32)
+    for i, s in enumerate(strings):
+        b = np.frombuffer(s, np.uint8)
+        mat[i, : len(b)] = b
+        lens[i] = len(b)
+    return mat, lens
+
+
+def roundtrip(strings):
+    mat, lens = pack_titles(strings)
+    enc = title.encode(mat, lens, CFG)
+    bw = BitWriter()
+    title.write_header(bw, enc)
+    bw.flush()
+    plan2, n_fixed, n_char, sub = title.read_header(BitReader(bw.getvalue()))
+    assert n_fixed == enc.fixed_words.shape[0]
+    assert n_char == enc.char_words.shape[0]
+    np.testing.assert_array_equal(sub, np.asarray(enc.char_sub_n_words))
+    out_mat, out_lens = title.decode(
+        plan2, enc.fixed_words, enc.char_words, sub, len(strings), CFG
+    )
+    got = [bytes(out_mat[i, : out_lens[i]]) for i in range(len(strings))]
+    assert got == list(strings)
+    return enc
+
+
+def test_err_style_titles():
+    strings = [
+        f"@ERR005195.{i + 1} BGI-FC30BFTAAXX_5_1_000:{(i * 37) % 2048}/2".encode()
+        for i in range(64)
+    ]
+    enc = roundtrip(strings)
+    # sequential ids → delta coding with zero width on at least one field
+    kinds = [p.kind for p in enc.plan.fields]
+    assert title.KIND_NUMERIC in kinds
+
+
+def test_srr_style_titles():
+    strings = [
+        f"@SRR013667.{i + 1} 30PTAAAXX:5:1:{i % 8}:{(i * 97) % 2048} length=76".encode()
+        for i in range(48)
+    ]
+    roundtrip(strings)
+
+
+def test_delta_coding_on_sequential_ids():
+    mat, lens = pack_titles([f"@X.{i}".encode() for i in range(1, 33)])
+    plan = title.analyze(mat, lens, CFG)
+    num = [p for p in plan.fields if p.kind == title.KIND_NUMERIC]
+    assert num, "sequential numeric field expected"
+    p = num[-1]
+    assert p.mode == title.NUM_DELTA and p.width == 0  # constant delta = free
+
+
+def test_constant_title_field_is_free():
+    strings = [b"@CONST.HEADER ABC"] * 16
+    enc = roundtrip(strings)
+    assert enc.char_words.shape[0] == 0 and enc.fixed_words.shape[0] == 0
+
+
+def test_inconsistent_schema_falls_back_to_raw():
+    strings = [b"@a b c", b"@a-b", b"@x y:z", b"@qqq"] * 4
+    mat, lens = pack_titles(strings)
+    plan = title.analyze(mat, lens, CFG)
+    assert plan.n_fields == 1
+    roundtrip(strings)
+
+
+def test_variable_length_char_field():
+    rng = np.random.default_rng(0)
+    strings = []
+    for i in range(32):
+        tag = bytes(rng.integers(65, 91, size=rng.integers(1, 12)).astype(np.uint8))
+        strings.append(b"@RUN:" + tag)
+    roundtrip(strings)
+
+
+def test_leading_zero_numbers_stay_char():
+    strings = [b"@X.007", b"@X.008", b"@X.009", b"@X.010"] * 4
+    mat, lens = pack_titles(strings)
+    plan = title.analyze(mat, lens, CFG)
+    # "007" has a leading zero → char field, and must round-trip exactly
+    assert all(p.kind == title.KIND_CHAR for p in plan.fields[1:])
+    roundtrip(strings)
+
+
+def test_huge_numeric_values():
+    strings = [f"@L.{10**17 + i * 13}".encode() for i in range(16)]
+    roundtrip(strings)
+
+
+def test_zero_value():
+    strings = [b"@A.0 x", b"@A.1 x", b"@A.0 x", b"@A.5 x"] * 4
+    roundtrip(strings)
+
+
+def test_empty_fields_from_adjacent_separators():
+    strings = [b"@a..b 1", b"@c..d 2", b"@e..f 3", b"@g..h 4"] * 4
+    roundtrip(strings)
+
+
+def test_single_record():
+    roundtrip([b"@only one.record:here/1"])
+
+
+def test_long_field_overflow_tree():
+    cfg_small = CodecConfig(records_per_substream=8, max_stat_positions=4)
+    rng = np.random.default_rng(1)
+    strings = [
+        b"@" + bytes(rng.integers(65, 70, size=20).astype(np.uint8)) for _ in range(16)
+    ]
+    mat, lens = pack_titles(strings)
+    enc = title.encode(mat, lens, cfg_small)
+    p = enc.plan.fields[0]
+    assert p.has_overflow
+    bw = BitWriter()
+    title.write_header(bw, enc)
+    bw.flush()
+    plan2, _, _, sub = title.read_header(BitReader(bw.getvalue()))
+    out_mat, out_lens = title.decode(
+        plan2, enc.fixed_words, enc.char_words, sub, len(strings), cfg_small
+    )
+    got = [bytes(out_mat[i, : out_lens[i]]) for i in range(len(strings))]
+    assert got == strings
