@@ -69,11 +69,18 @@ def analyze(qual: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
 
 def build_tables(counts: np.ndarray, cfg: CodecConfig) -> QualityTables:
     counts = np.asarray(counts)
-    lens = huffman.build_code_lengths_batch(counts, cfg.max_code_len)
+    from phyngsc_tpu.utils import native
+
+    built = native.huffman_lengths(counts, cfg.max_code_len)
+    if built is not None:
+        lens, singletons = built
+    else:
+        lens = huffman.build_code_lengths_batch(counts, cfg.max_code_len)
+        singletons = huffman.singleton_of_batch(counts)
     return QualityTables(
         lens=lens,
         codes=np.asarray(huffman.canonical_codes(lens)),
-        singletons=huffman.singleton_of_batch(counts),
+        singletons=singletons,
     )
 
 

@@ -37,6 +37,7 @@ import numpy as np
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.ops import bitpack, huffman
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
+from phyngsc_tpu.utils.shapes import bucket_records
 
 SEPARATORS = b" ._,=:/-#"
 _SEP_LOOKUP = np.zeros(256, dtype=bool)
@@ -109,6 +110,14 @@ def field_content(titles: np.ndarray, tok: Tokenized, f: int) -> np.ndarray:
     W = int(tok.lens[:, f].max()) if R else 0
     if W == 0:
         return np.zeros((R, 0), np.uint8)
+    from phyngsc_tpu.utils import native
+
+    TL = titles.shape[1]
+    flat_starts = np.arange(R, dtype=np.int64) * TL + tok.starts[:, f]
+    out = native.gather(np.ascontiguousarray(titles).reshape(-1), flat_starts,
+                        tok.lens[:, f], W)
+    if out is not None:
+        return out
     cols = tok.starts[:, f : f + 1] + np.arange(W, dtype=np.int32)[None, :]
     mask = np.arange(W)[None, :] < tok.lens[:, f : f + 1]
     out = titles[np.arange(R)[:, None], np.clip(cols, 0, titles.shape[1] - 1)]
@@ -262,17 +271,32 @@ class TitlePlan:
         return out
 
 
-def analyze(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig) -> TitlePlan:
-    tok = tokenize(titles, tlens)
+@dataclasses.dataclass
+class TitleContext:
+    """Tokenization + per-field content computed once per sub-block and
+    shared by analyze and encode (each needs the same gathers)."""
+    tok: Tokenized
+    contents: List[np.ndarray]
+
+    @classmethod
+    def build(cls, titles: np.ndarray, tlens: np.ndarray) -> "TitleContext":
+        tok = tokenize(titles, tlens)
+        contents = [field_content(titles, tok, f) for f in range(tok.n_fields)]
+        return cls(tok, contents)
+
+
+def analyze(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
+            ctx: Optional[TitleContext] = None) -> TitlePlan:
+    ctx = ctx or TitleContext.build(titles, tlens)
     fields = []
-    for f in range(tok.n_fields):
-        content = field_content(titles, tok, f)
-        flens = tok.lens[:, f]
+    for f in range(ctx.tok.n_fields):
+        content = ctx.contents[f]
+        flens = ctx.tok.lens[:, f]
         p = plan_numeric(content, flens)
         if p is None:
             p = plan_char(content, flens, cfg)
         fields.append(p)
-    return TitlePlan(tok, fields)
+    return TitlePlan(ctx.tok, fields)
 
 
 # ---------------------------------------------------------------------------
@@ -290,15 +314,15 @@ def _numeric_values(content: np.ndarray, flens: np.ndarray) -> np.ndarray:
     )
 
 
-def _fixed_payload(plan: TitlePlan, titles: np.ndarray, tok: Tokenized) -> np.ndarray:
+def _fixed_payload(plan: TitlePlan, ctx: TitleContext, R: int) -> np.ndarray:
     """(R, K) uint32 fixed-stream chunk values (field-major), widths constant."""
-    R = titles.shape[0]
+    tok = ctx.tok
     cols = []
     for f, p in enumerate(plan.fields):
         if p.kind == KIND_NUMERIC:
             if p.width == 0:
                 continue
-            vals = _numeric_values(field_content(titles, tok, f), tok.lens[:, f])
+            vals = _numeric_values(ctx.contents[f], tok.lens[:, f])
             if p.mode == NUM_VALUE:
                 enc = vals - p.base
             else:
@@ -314,33 +338,30 @@ def _fixed_payload(plan: TitlePlan, titles: np.ndarray, tok: Tokenized) -> np.nd
     return np.stack(cols, axis=1) if cols else np.zeros((R, 0), np.uint32)
 
 
-def _char_symbols(plan: TitlePlan, titles: np.ndarray, tok: Tokenized):
-    """Char-stream per-symbol (codes, lens, tree_ids, valid) as (R, K) arrays,
-    K = sum of char-field max widths; plus per-record step counts."""
-    R = titles.shape[0]
-    code_cols, len_cols, tree_cols, valid_cols = [], [], [], []
+def _char_symbols(plan: TitlePlan, ctx: TitleContext, R: int):
+    """Char-stream per-symbol (codes, lens) as (R, K) arrays, K = sum of
+    char-field max widths."""
+    tok = ctx.tok
+    lens_tab = plan.all_char_lens
+    codes_tab = np.asarray(huffman.canonical_codes(lens_tab)) \
+        if lens_tab.shape[0] else np.zeros((1, ALPHABET), np.uint32)
+    code_cols, len_cols = [], []
     for f, p in enumerate(plan.fields):
         if p.kind != KIND_CHAR or p.max_len == 0:
             continue
-        content = field_content(titles, tok, f)
+        content = ctx.contents[f]
         flens = tok.lens[:, f]
         W = p.max_len
         base = plan.char_tree_base(f)
         tree = base + p.tree_of_pos(np.arange(W))
-        lens_tab = plan.all_char_lens
-        codes_tab = np.asarray(huffman.canonical_codes(lens_tab)) \
-            if lens_tab.shape[0] else np.zeros((1, ALPHABET), np.uint32)
         v = np.arange(W)[None, :] < flens[:, None]
         c32 = content.astype(np.int64)
         code_cols.append(np.where(v, codes_tab[tree[None, :], c32], 0).astype(np.uint32))
         len_cols.append(np.where(v, lens_tab[tree[None, :], c32], 0).astype(np.int32))
-        tree_cols.append(np.broadcast_to(tree[None, :], (R, W)).astype(np.int32))
-        valid_cols.append(v)
     if not code_cols:
         z = np.zeros((R, 0))
-        return z.astype(np.uint32), z.astype(np.int32), z.astype(np.int32), z.astype(bool)
-    return (np.concatenate(code_cols, axis=1), np.concatenate(len_cols, axis=1),
-            np.concatenate(tree_cols, axis=1), np.concatenate(valid_cols, axis=1))
+        return z.astype(np.uint32), z.astype(np.int32)
+    return np.concatenate(code_cols, axis=1), np.concatenate(len_cols, axis=1)
 
 
 @dataclasses.dataclass
@@ -357,40 +378,47 @@ class EncodedTitle:
 def encode(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
            plan: Optional[TitlePlan] = None) -> EncodedTitle:
     R = titles.shape[0]
+    ctx = TitleContext.build(titles, tlens)
     if plan is None:
-        plan = analyze(titles, tlens, cfg)
-    tok = tokenize(titles, tlens)
+        plan = analyze(titles, tlens, cfg, ctx)
 
-    # fixed stream: constant stride → offsets are an affine map
-    payload = _fixed_payload(plan, titles, tok)
+    # fixed stream: constant stride → offsets are an affine map. Shapes are
+    # bucketed over the record axis (utils/shapes.py) so every sub-block
+    # shares the same compiled pack kernel; padded rows are zeros.
+    Rp = bucket_records(R, cfg.records_per_substream)
+    payload = _fixed_payload(plan, ctx, R)
     widths = np.array(plan.fixed_widths, dtype=np.int32)
     stride = int(widths.sum())
     if stride:
+        payload = np.vstack(
+            [payload, np.zeros((Rp - R, payload.shape[1]), payload.dtype)])
         prefix = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
-        offs = (np.arange(R, dtype=np.int64)[:, None] * stride + prefix[None, :]).astype(np.int32)
+        offs = (np.arange(Rp, dtype=np.int64)[:, None] * stride + prefix[None, :]).astype(np.int32)
+        cap = (Rp * stride + 31) // 32
         n_words = (R * stride + 31) // 32
         w = np.broadcast_to(widths[None, :], payload.shape).astype(np.int32)
         fixed_words = np.asarray(bitpack.pack_bits_scatter(
-            jnp.array(payload), jnp.array(w), jnp.array(offs), n_words))
+            jnp.array(payload), jnp.array(w), jnp.array(offs), cap))[:n_words]
     else:
         fixed_words = np.zeros(0, np.uint32)
 
     # char stream: substream layout + scatter pack
-    codes, clens, _, _ = _char_symbols(plan, titles, tok)
+    codes, clens = _char_symbols(plan, ctx, R)
     G = cfg.records_per_substream
-    pad = (-R) % G
+    pad = Rp - R
     if pad:
         codes = np.vstack([codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
         clens = np.vstack([clens, np.zeros((pad, clens.shape[1]), clens.dtype)])
     if codes.shape[1]:
         lay = bitpack.substream_layout(jnp.array(clens), G)
         total = int(lay["total_words"])
+        cap = (Rp * codes.shape[1] * 16) // 32 + Rp // G + 8
         char_words = np.asarray(bitpack.pack_bits_scatter(
-            jnp.array(codes), jnp.array(clens), lay["bit_offsets"], max(total, 1)))[:total]
+            jnp.array(codes), jnp.array(clens), lay["bit_offsets"], cap))[:total]
         sub_n_words = np.asarray(lay["sub_n_words"])
     else:
         char_words = np.zeros(0, np.uint32)
-        sub_n_words = np.zeros((R + pad) // G if G else 0, np.int32)
+        sub_n_words = np.zeros(Rp // G if G else 0, np.int32)
     return EncodedTitle(plan, fixed_words, char_words, sub_n_words)
 
 
@@ -405,12 +433,16 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
     widths = np.array(plan.fixed_widths, dtype=np.int32)
     stride = int(widths.sum())
     K = widths.shape[0]
+    Rp = bucket_records(R, cfg.records_per_substream)
     if stride and R:
         prefix = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
-        offs = (np.arange(R, dtype=np.int64)[:, None] * stride + prefix[None, :]).astype(np.int32)
-        w = np.broadcast_to(widths[None, :], (R, K)).astype(np.int32)
+        offs = (np.arange(Rp, dtype=np.int64)[:, None] * stride + prefix[None, :]).astype(np.int32)
+        w = np.broadcast_to(widths[None, :], (Rp, K)).astype(np.int32)
+        fcap = (Rp * stride + 31) // 32  # static shape across sub-blocks
+        fw = np.zeros(fcap, np.uint32)
+        fw[: fixed_words.shape[0]] = fixed_words
         chunks = np.asarray(bitpack.extract_fixed_width(
-            jnp.array(fixed_words), jnp.array(offs), jnp.array(w), R * K)).reshape(R, K)
+            jnp.array(fw), jnp.array(offs), jnp.array(w), Rp * K)).reshape(Rp, K)[:R]
     else:
         chunks = np.zeros((R, K), np.uint32)
 
@@ -455,7 +487,6 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
     contents: dict = {}
     if char_fields and R:
         G = cfg.records_per_substream
-        Rp = R + ((-R) % G)
         S = Rp // G
         steps_per_rec = np.zeros(Rp, np.int64)
         for f in char_fields:
@@ -463,7 +494,7 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
         # build (S, T) tree ids + validity, and (r, f, pos) → step maps
         sub_tot = steps_per_rec.reshape(S, G).sum(axis=1)
         T = int(sub_tot.max()) if S else 0
-        T = max(T, 1)
+        T = max((T + 63) // 64 * 64, 64)  # bucketed step count
         tree_ids = np.zeros((S, T), np.int32)
         valid = np.zeros((S, T), bool)
         rec_step0 = np.zeros(Rp, np.int64)
@@ -490,8 +521,13 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
             tree_ids[srow[m], step[m]] = base + p.tree_of_pos(pos)[None, :].repeat(R, 0)[m]
             valid[srow[m], step[m]] = True
         luts = plan.luts(cfg.max_code_len)
+        # pad the packed words to the bucket-stable cap (S * T bits upper
+        # bound) so the unpack kernel compiles once per (S, T) bucket
+        ccap = (S * T + 1) // 2 + S + 8
+        cw = np.zeros(ccap, np.uint32)
+        cw[: min(char_words.shape[0], ccap)] = char_words[:ccap]
         syms = np.asarray(bitpack.unpack_substreams(
-            jnp.array(char_words if char_words.size else np.zeros(1, np.uint32)),
+            jnp.array(cw),
             jnp.concatenate([jnp.zeros(1, jnp.int32),
                              jnp.cumsum(jnp.array(char_sub_n_words))[:-1].astype(jnp.int32)]),
             jnp.array(luts), jnp.array(tree_ids), jnp.array(valid),

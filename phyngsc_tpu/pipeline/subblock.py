@@ -29,6 +29,7 @@ from phyngsc_tpu.models import dna, quality, title
 from phyngsc_tpu.ops import bitpack
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter
 from phyngsc_tpu.utils.fastq import RecordIndex
+from phyngsc_tpu.utils.shapes import bucket_length, bucket_records
 
 FLAG_VARIABLE_LENGTH = 1
 FLAG_DELTA = 2
@@ -40,6 +41,11 @@ def _gather_matrix(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
     R = starts.shape[0]
     if R == 0 or width == 0:
         return np.zeros((R, max(width, 1)), np.uint8)
+    from phyngsc_tpu.utils import native
+
+    out = native.gather(buf, starts, lens, width)
+    if out is not None:
+        return out
     cols = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
     mask = np.arange(width)[None, :] < lens[:, None]
     out = buf[np.clip(cols, 0, buf.shape[0] - 1)]
@@ -70,16 +76,13 @@ def _word_cap(R: int, L: int, G: int) -> int:
     return (R * L) // 2 + (R // G) + 8
 
 
-def _pad_records(R: int, G: int) -> int:
-    return R + ((-R) % G)
-
-
 def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> bytes:
     R = idx.n_records
     G = cfg.records_per_substream
     lens_np = idx.seq_len.astype(np.int32)
-    L = int(lens_np.max()) if R else 1
-    Rp = _pad_records(R, G)
+    Lt = int(lens_np.max()) if R else 1
+    L = bucket_length(Lt)
+    Rp = bucket_records(R, G)
 
     seq_np = _gather_matrix(buf, idx.seq_start, lens_np.astype(np.int64), L)
     qual_np = _gather_matrix(buf, idx.qual_start, lens_np.astype(np.int64), L)
@@ -122,7 +125,7 @@ def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> byte
     # --- sections ----------------------------------------------------------
     meta = BitWriter()
     meta.put_uint(R, 4)
-    meta.put_bits(L, 16)
+    meta.put_bits(Lt, 16)
     variable = bool(R) and not bool(np.all(lens_np == lens_np[0]))
     flags = (FLAG_VARIABLE_LENGTH if variable else 0) | (FLAG_DELTA if is_delta else 0)
     meta.put_byte(flags)
@@ -175,7 +178,8 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
 
     br = BitReader(meta_sec)
     R = br.get_uint(4)
-    L = br.get_bits(16)
+    Lt = br.get_bits(16)
+    L = bucket_length(Lt)
     flags = br.get_byte()
     variable = bool(flags & FLAG_VARIABLE_LENGTH)
     is_delta = bool(flags & FLAG_DELTA)
@@ -185,12 +189,22 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
         lens_np = _unpack_fixed_np(br.get_bytes(((R * w) + 7) // 8), w, R).astype(np.int32)
     else:
         br.align()
-        lens_np = np.full(R, L, np.int32) if R else np.zeros(0, np.int32)
+        lens_np = np.full(R, Lt, np.int32) if R else np.zeros(0, np.int32)
 
     G = cfg.records_per_substream
-    Rp = _pad_records(R, G)
+    Rp = bucket_records(R, G)
     lens_pad = np.concatenate([lens_np, np.zeros(Rp - R, np.int32)])
     lens_j = jnp.array(lens_pad)
+
+    # Decode-side word buffers are padded to the same static caps the encoder
+    # used so every sub-block reuses one compiled executable (dynamic word
+    # counts would recompile per sub-block).
+    cap = _word_cap(Rp, L, G)
+
+    def _padded(words: np.ndarray, n: int) -> np.ndarray:
+        out = np.zeros(n, np.uint32)
+        out[: words.shape[0]] = words
+        return out
 
     # title
     br = BitReader(title_sec)
@@ -204,7 +218,7 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
     br = BitReader(quality_sec)
     q_tables, q_sub, q_total = quality.read_header(br)
     br.align()
-    q_words = bitpack.bytes_to_words(br.get_bytes(4 * q_total))
+    q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)), cap)
     qual_t = quality.decode_device(
         jnp.array(q_words), jnp.array(q_sub), lens_j,
         jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
@@ -214,7 +228,7 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
     br = BitReader(dna_sec)
     d_plan, d_sub, d_total, is_delta_hdr = dna.read_header(br)
     br.align()
-    d_words = bitpack.bytes_to_words(br.get_bytes(4 * d_total))
+    d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), cap)
     keep = (np.asarray(qual_t) < 128) & (
         np.arange(L)[None, :] < lens_pad[:, None]
     )

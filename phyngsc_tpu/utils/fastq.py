@@ -75,6 +75,12 @@ def index_records(buf: np.ndarray, *, validate: bool = True) -> RecordIndex:
     ignored.
     """
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if validate:  # native fast path (falls back to numpy on any failure so
+        from phyngsc_tpu.utils import native  # the error message is exact)
+
+        spans = native.index_records(buf, validate=True)
+        if spans is not None:
+            return RecordIndex(*spans)
     nl = np.flatnonzero(buf == NEWLINE)
     n_lines = nl.shape[0]
     n_records = n_lines // 4

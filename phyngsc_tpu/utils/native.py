@@ -1,0 +1,120 @@
+"""ctypes loader for the native host runtime (native/host_runtime.cpp).
+
+Auto-builds on first use when a toolchain is present; every entry point has a
+pure-numpy fallback, so the package works without the library (`PHYNGSC_NO_NATIVE=1`
+forces the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libphyngsc_host.so"))
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("PHYNGSC_NO_NATIVE"):
+        return None
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                capture_output=True, timeout=120, check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.phyngsc_index_records.restype = ctypes.c_int64
+    lib.phyngsc_index_records.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.phyngsc_gather.restype = None
+    lib.phyngsc_gather.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, i64p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.phyngsc_huffman_lengths.restype = None
+    lib.phyngsc_huffman_lengths.argtypes = [
+        i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def index_records(buf: np.ndarray, validate: bool = True):
+    """Returns the 6 span arrays, or None if native lib unavailable / invalid
+    input (caller falls back to numpy for the error message)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    cap = buf.shape[0] // 8 + 2  # a record is >= 8 bytes ("@\nA\n+\nI\n")
+    outs = [np.empty(cap, np.int64) for _ in range(6)]
+    n = lib.phyngsc_index_records(
+        buf.ctypes.data, buf.shape[0], *(_i64p(o) for o in outs),
+        cap, 1 if validate else 0,
+    )
+    if n < 0:
+        return None  # validation failure → numpy path raises the right error
+    return tuple(o[:n].copy() for o in outs)
+
+
+def gather(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+           width: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    R = starts.shape[0]
+    out = np.empty((R, width), np.uint8)
+    lib.phyngsc_gather(
+        buf.ctypes.data, buf.shape[0], _i64p(starts),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), R, width,
+        out.ctypes.data,
+    )
+    return out
+
+
+def huffman_lengths(hist: np.ndarray, max_len: int):
+    """(K, A) int64 → (lens (K, A) uint8, singletons (K,) int32), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    hist = np.ascontiguousarray(hist, dtype=np.int64)
+    K, A = hist.shape
+    lens = np.empty((K, A), np.uint8)
+    singles = np.empty(K, np.int32)
+    lib.phyngsc_huffman_lengths(
+        _i64p(hist), K, A, max_len, lens.ctypes.data,
+        singles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return lens, singles
