@@ -52,6 +52,10 @@ class CodecConfig:
     data_axis: str = "data"
     #: Name of the position (sequence-parallel) mesh axis.
     seq_axis: str = "seq"
+    #: Number of data-parallel shards for the stream encoders (1 = single
+    #: chip). Shard boundaries align with substreams, so the container format
+    #: is identical for any shard count.
+    data_shards: int = 1
 
     def __post_init__(self) -> None:
         if self.max_code_len > 16:

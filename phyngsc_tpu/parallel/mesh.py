@@ -29,6 +29,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.models import dna as dmod
 from phyngsc_tpu.models import quality as qmod
 from phyngsc_tpu.ops import bitpack, histogram
 
@@ -93,3 +94,67 @@ def sharded_quality_encode(mesh: Mesh, records_per_substream: int,
         out_specs=(P(da), P(da), P(da)),
     )
     return jax.jit(fn)
+
+
+class ShardedSubblockCodec:
+    """Data-parallel sub-block encode over a 1-D (or data×seq) mesh.
+
+    Each data shard owns a contiguous record range; substreams never cross
+    shards, so per-shard packed words concatenate into the exact container
+    stream a single chip would produce with the same substream table — the
+    format is shard-count independent. Histograms psum over `data` so the
+    host builds one table set (the omp-critical merge, phyNGSC.cpp:622-653,
+    as one collective).
+    """
+
+    def __init__(self, mesh: Mesh, cfg: CodecConfig):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.n_data = mesh.shape[cfg.data_axis]
+        da = cfg.data_axis
+
+        def analyze(seq, qual, lens):
+            qual_t, keep, _ = dmod.transfer_ambiguity(seq, qual, lens)
+            q_local = qmod.analyze(qual_t, lens)
+            d_local = dmod.analyze(seq, keep)
+            return (jax.lax.psum(q_local, da), jax.lax.psum(d_local, da),
+                    qual_t, keep)
+
+        self._analyze = jax.jit(shard_map(
+            analyze, mesh=mesh, check_vma=False,
+            in_specs=(P(da), P(da), P(da)),
+            out_specs=(P(), P(), P(da), P(da)),
+        ))
+
+        self._encode_cache = {}
+
+    def analyze(self, seq, qual, lens):
+        return self._analyze(seq, qual, lens)
+
+    def _encoder(self, G: int, cap: int, mode: int):
+        key = (G, cap, mode)
+        fn = self._encode_cache.get(key)
+        if fn is not None:
+            return fn
+        da = self.cfg.data_axis
+
+        def encode(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens):
+            qw, qs, qt = qmod.encode_device(qual_t, lens, q_codes, q_lens, G, cap)
+            dw, ds, dt = dmod.encode_device(seq, keep, d_codes, d_lens, mode, G, cap)
+            return qw, qs, qt.reshape(1), dw, ds, dt.reshape(1)
+
+        fn = jax.jit(shard_map(
+            encode, mesh=self.mesh, check_vma=False,
+            in_specs=(P(da), P(da), P(da), P(da), P(), P(), P(), P()),
+            out_specs=(P(da), P(da), P(da), P(da), P(da), P(da)),
+        ))
+        self._encode_cache[key] = fn
+        return fn
+
+    def encode(self, qual_t, keep, seq, lens, q_codes, q_lens,
+               d_codes, d_lens, G: int, cap_per_shard: int, mode: int):
+        """Returns per-shard-concatenated (q_words, q_sub, q_totals (n_data,),
+        d_words, d_sub, d_totals). The host trims each shard's cap slack using
+        the totals when assembling the stream."""
+        fn = self._encoder(G, cap_per_shard, mode)
+        return fn(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens)

@@ -42,30 +42,68 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
     buf = np.frombuffer(data, dtype=np.uint8)
     regions = partition_regions(buf, n_writers, cfg)
 
+    codec = None
+    if cfg.data_shards > 1:
+        from phyngsc_tpu.parallel.mesh import ShardedSubblockCodec, make_mesh
+
+        codec = ShardedSubblockCodec(make_mesh(cfg.data_shards, 1, cfg=cfg), cfg)
+
+    # enumerate every (writer, sub-block record range) task up front, then run
+    # the three encode stages software-pipelined across tasks: stage A of
+    # task i+2 and stage B of task i+1 overlap the async device work and
+    # device→host fetches of task i (the TPU analogue of the reference's
+    # read/compress/write overlap across OpenMP regions).
+    tasks = []  # (writer_pos, RecordIndex slice)
+    t_start = time.perf_counter()
+    for w, reg in enumerate(regions):
+        if reg.end <= reg.start:
+            continue
+        idx = index_records(buf[reg.start : reg.end])
+        for name in ("title_start", "title_end", "seq_start", "seq_end",
+                     "qual_start", "qual_end"):
+            setattr(idx, name, getattr(idx, name) + reg.start)
+        rec_sizes = (idx.qual_end + 1 - idx.title_start).astype(np.int64)
+        for sl in split_subblocks(rec_sizes, cfg):
+            tasks.append((w, idx.slice(sl.start, sl.stop)))
+
+    sub_payloads: List[List[bytes]] = [[] for _ in regions]
+    a_q: List = []  # [(writer_pos, _StageA)]
+    b_q: List = []  # [(writer_pos, _StageB)]
+
+    def _advance_b():
+        w, a = a_q.pop(0)
+        b_q.append((w, sbmod.stage_b(a, cfg, codec)))
+
+    def _advance_c():
+        w, b = b_q.pop(0)
+        sub_payloads[w].append(sbmod.stage_c(b, cfg))
+
+    for w, idx_slice in tasks:
+        a_q.append((w, sbmod.stage_a(buf, idx_slice, cfg, codec)))
+        if len(a_q) >= 2:
+            _advance_b()
+        if len(b_q) >= 2:
+            _advance_c()
+    while a_q:
+        _advance_b()
+    while b_q:
+        _advance_c()
+    total_s = time.perf_counter() - t_start
+
     per_writer_blocks: List[List[blockmod.Block]] = []
     n_subblocks_total = 0
-    for reg in regions:
-        t0 = time.perf_counter()
-        sub_payloads: List[bytes] = []
-        if reg.end > reg.start:
-            idx = index_records(buf[reg.start : reg.end])
-            # shift spans to absolute offsets
-            for name in ("title_start", "title_end", "seq_start", "seq_end",
-                         "qual_start", "qual_end"):
-                setattr(idx, name, getattr(idx, name) + reg.start)
-            rec_sizes = (idx.qual_end + 1 - idx.title_start).astype(np.int64)
-            for sl in split_subblocks(rec_sizes, cfg):
-                sub_payloads.append(sbmod.encode_subblock(buf, idx.slice(sl.start, sl.stop), cfg))
-        blocks = blockmod.pack_blocks(reg.writer_id, sub_payloads, cfg.block_size)
+    for w, reg in enumerate(regions):
+        blocks = blockmod.pack_blocks(reg.writer_id, sub_payloads[w], cfg.block_size)
         per_writer_blocks.append(blocks)
-        n_subblocks_total += len(sub_payloads)
+        n_subblocks_total += len(sub_payloads[w])
         if stats_out is not None:
+            in_bytes = reg.end - reg.start
             stats_out.append(CompressStats(
                 writer_id=reg.writer_id,
-                seconds=time.perf_counter() - t0,
+                seconds=total_s * in_bytes / max(len(data), 1),
                 n_blocks=len(blocks),
-                n_subblocks=len(sub_payloads),
-                input_bytes=reg.end - reg.start,
+                n_subblocks=len(sub_payloads[w]),
+                input_bytes=in_bytes,
                 output_bytes=sum(len(b.payload) for b in blocks),
             ))
 

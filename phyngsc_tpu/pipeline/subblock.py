@@ -19,8 +19,10 @@ symbol count (tasks.cpp:986 mirror).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,19 +78,62 @@ def _word_cap(R: int, L: int, G: int) -> int:
     return (R * L) // 2 + (R // G) + 8
 
 
-def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> bytes:
-    R = idx.n_records
+class _StageA:
+    """Host gather + device analyze dispatched (nothing fetched yet).
+
+    Device outputs are fused into one `counts_blob` so the remote-host path
+    pays a single device→host round-trip (the tunnel's per-fetch latency
+    dwarfs its bandwidth)."""
+
+    __slots__ = ("R", "Lt", "L", "Rp", "lens_np", "tlens_np", "titles_np",
+                 "is_delta", "seq_j", "lens_j", "qual_t", "keep",
+                 "counts_blob", "n_q_counts")
+
+
+class _StageB:
+    """Tables built, stream packing dispatched; all packed outputs fused into
+    one `blob` for a single device→host fetch."""
+
+    __slots__ = ("a", "q_tables", "d_plan", "t_enc", "blob", "blob_layout",
+                 "n_shards")
+
+
+def _trim_shard_words(words: np.ndarray, totals: np.ndarray, n_shards: int
+                      ) -> np.ndarray:
+    """Concatenate per-shard word buffers, dropping each shard's cap slack
+    (the substream table already accounts for only the real words)."""
+    t = np.asarray(totals).reshape(-1)
+    if n_shards <= 1:
+        return words[: int(t[0])]
+    per = words.reshape(n_shards, -1)
+    return np.concatenate([per[d, : int(t[d])] for d in range(n_shards)])
+
+
+def _host_async(*arrays) -> None:
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:  # numpy input (tests) or older jax
+            pass
+
+
+def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
+            codec=None) -> _StageA:
+    """codec: optional parallel.mesh.ShardedSubblockCodec for multi-chip."""
+    st = _StageA()
+    R = st.R = idx.n_records
     G = cfg.records_per_substream
-    lens_np = idx.seq_len.astype(np.int32)
-    Lt = int(lens_np.max()) if R else 1
-    L = bucket_length(Lt)
-    Rp = bucket_records(R, G)
+    lens_np = st.lens_np = idx.seq_len.astype(np.int32)
+    Lt = st.Lt = int(lens_np.max()) if R else 1
+    L = st.L = bucket_length(Lt)
+    n_shards = codec.n_data if codec is not None else 1
+    Rp = st.Rp = bucket_records(R, G, n_shards)
 
     seq_np = _gather_matrix(buf, idx.seq_start, lens_np.astype(np.int64), L)
     qual_np = _gather_matrix(buf, idx.qual_start, lens_np.astype(np.int64), L)
-    tlens_np = (idx.title_end - idx.title_start).astype(np.int32)
+    tlens_np = st.tlens_np = (idx.title_end - idx.title_start).astype(np.int32)
     TL = int(tlens_np.max()) if R else 1
-    titles_np = _gather_matrix(buf, idx.title_start, tlens_np.astype(np.int64), TL)
+    st.titles_np = _gather_matrix(buf, idx.title_start, tlens_np.astype(np.int64), TL)
 
     if Rp != R:
         pad = Rp - R
@@ -98,72 +143,146 @@ def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> byte
     else:
         lens_pad = lens_np
 
-    is_delta = dna.detect_delta(seq_np[:R], lens_np)
+    st.is_delta = dna.detect_delta(seq_np[:R], lens_np)
     seq_j = jnp.array(seq_np)
-    lens_j = jnp.array(lens_pad)
-    if is_delta:
+    lens_j = st.lens_j = jnp.array(lens_pad)
+    if st.is_delta:
         seq_j = dna.delta_translate(seq_j, lens_j)
+    st.seq_j = seq_j
     qual_j = jnp.array(qual_np)
 
-    # --- analyze + encode on device ---------------------------------------
-    qual_t, keep, _ = dna.transfer_ambiguity(seq_j, qual_j, lens_j)
-    q_counts = quality.analyze(qual_t, lens_j)
-    d_counts = dna.analyze(seq_j, keep)
-    q_tables = quality.build_tables(np.asarray(q_counts), cfg)
-    d_plan = dna.plan(np.asarray(d_counts), cfg)
+    if codec is not None:
+        q_counts, d_counts, st.qual_t, st.keep = codec.analyze(
+            seq_j, qual_j, lens_j)
+    else:
+        st.qual_t, st.keep, _ = dna.transfer_ambiguity(seq_j, qual_j, lens_j)
+        q_counts = quality.analyze(st.qual_t, lens_j)
+        d_counts = dna.analyze(seq_j, st.keep)
+    st.n_q_counts = int(q_counts.shape[0]) * int(q_counts.shape[1])
+    st.counts_blob = _fuse_counts(q_counts, d_counts)
+    _host_async(st.counts_blob)
+    return st
 
-    cap = _word_cap(Rp, L, G)
-    q_words, q_sub, q_total = quality.encode_device(
-        qual_t, lens_j, jnp.array(q_tables.codes), jnp.array(q_tables.lens), G, cap
-    )
-    d_words, d_sub, d_total = dna.encode_device(
-        seq_j, keep, jnp.array(d_plan.codes_tab), jnp.array(d_plan.lens_tab),
-        d_plan.mode, G, cap,
-    )
-    t_enc = title.encode(titles_np, tlens_np, cfg)
 
-    # --- sections ----------------------------------------------------------
+@jax.jit
+def _fuse_counts(q_counts, d_counts):
+    return jnp.concatenate(
+        [q_counts.reshape(-1).astype(jnp.int32),
+         d_counts.reshape(-1).astype(jnp.int32)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fuse_blob(q_words, q_sub, q_total, d_words, d_sub, d_total):
+    return jnp.concatenate([
+        q_words.reshape(-1),
+        d_words.reshape(-1),
+        q_sub.reshape(-1).astype(jnp.uint32),
+        d_sub.reshape(-1).astype(jnp.uint32),
+        q_total.reshape(-1).astype(jnp.uint32),
+        d_total.reshape(-1).astype(jnp.uint32),
+    ])
+
+
+def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
+    st = _StageB()
+    st.a = a
+    G = cfg.records_per_substream
+    st.n_shards = codec.n_data if codec is not None else 1
+    counts = np.asarray(a.counts_blob)  # the one stage-A fetch
+    q_counts = counts[: a.n_q_counts].reshape(-1, quality.ALPHABET)
+    d_counts = counts[a.n_q_counts :]
+    st.q_tables = quality.build_tables(q_counts, cfg)
+    st.d_plan = dna.plan(d_counts, cfg)
+
+    if codec is not None:
+        cap = _word_cap(a.Rp // st.n_shards, a.L, G)
+        q_words, q_sub, q_total, d_words, d_sub, d_total = codec.encode(
+            a.qual_t, a.keep, a.seq_j, a.lens_j,
+            jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
+            jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
+            G, cap, st.d_plan.mode,
+        )
+    else:
+        cap = _word_cap(a.Rp, a.L, G)
+        q_words, q_sub, q_total = quality.encode_device(
+            a.qual_t, a.lens_j, jnp.array(st.q_tables.codes),
+            jnp.array(st.q_tables.lens), G, cap,
+        )
+        d_words, d_sub, d_total = dna.encode_device(
+            a.seq_j, a.keep, jnp.array(st.d_plan.codes_tab),
+            jnp.array(st.d_plan.lens_tab), st.d_plan.mode, G, cap,
+        )
+    # title is host-heavy: runs while the device packs quality/dna
+    st.t_enc = title.encode(a.titles_np, a.tlens_np, cfg)
+    sizes = [int(np.prod(x.shape)) for x in
+             (q_words, d_words, q_sub, d_sub)]
+    st.blob_layout = sizes
+    st.blob = _fuse_blob(q_words, q_sub, jnp.asarray(q_total),
+                         d_words, d_sub, jnp.asarray(d_total))
+    _host_async(st.blob)
+    return st
+
+
+def stage_c(b: _StageB, cfg: CodecConfig) -> bytes:
+    a = b.a
+    blob = np.asarray(b.blob)  # the one stage-B fetch
+    nqw, ndw, nqs, nds = b.blob_layout
+    off = 0
+    q_words = blob[off : off + nqw]; off += nqw
+    d_words = blob[off : off + ndw]; off += ndw
+    q_sub = blob[off : off + nqs].astype(np.int32); off += nqs
+    d_sub = blob[off : off + nds].astype(np.int32); off += nds
+    q_total = blob[off : off + max(b.n_shards, 1)].astype(np.int64); off += max(b.n_shards, 1)
+    d_total = blob[off:].astype(np.int64)
+
     meta = BitWriter()
-    meta.put_uint(R, 4)
-    meta.put_bits(Lt, 16)
-    variable = bool(R) and not bool(np.all(lens_np == lens_np[0]))
-    flags = (FLAG_VARIABLE_LENGTH if variable else 0) | (FLAG_DELTA if is_delta else 0)
+    meta.put_uint(a.R, 4)
+    meta.put_bits(a.Lt, 16)
+    variable = bool(a.R) and not bool(np.all(a.lens_np == a.lens_np[0]))
+    flags = (FLAG_VARIABLE_LENGTH if variable else 0) | (
+        FLAG_DELTA if a.is_delta else 0)
     meta.put_byte(flags)
     if variable:
-        w = max(1, int(lens_np.max()).bit_length())
+        w = max(1, int(a.lens_np.max()).bit_length())
         meta.put_byte(w)
         meta.flush()
-        meta.put_bytes(_pack_fixed_np(lens_np, w))
+        meta.put_bytes(_pack_fixed_np(a.lens_np, w))
     meta.flush()
 
     tbw = BitWriter()
-    title.write_header(tbw, t_enc)
+    title.write_header(tbw, b.t_enc)
     tbw.flush()
     title_sec = (
         tbw.getvalue()
-        + bitpack.words_to_bytes(t_enc.fixed_words)
-        + bitpack.words_to_bytes(t_enc.char_words)
+        + bitpack.words_to_bytes(b.t_enc.fixed_words)
+        + bitpack.words_to_bytes(b.t_enc.char_words)
     )
 
+    q_stream = _trim_shard_words(q_words, q_total, b.n_shards)
     qbw = BitWriter()
-    quality.write_header(qbw, q_tables, np.asarray(q_sub), int(q_total))
+    quality.write_header(qbw, b.q_tables, q_sub, q_stream.shape[0])
     qbw.flush()
-    quality_sec = qbw.getvalue() + bitpack.words_to_bytes(
-        np.asarray(q_words)[: int(q_total)]
-    )
+    quality_sec = qbw.getvalue() + bitpack.words_to_bytes(q_stream)
 
+    d_stream = _trim_shard_words(d_words, d_total, b.n_shards)
     dbw = BitWriter()
-    dna.write_header(dbw, d_plan, np.asarray(d_sub), int(d_total), is_delta)
+    dna.write_header(dbw, b.d_plan, d_sub, d_stream.shape[0], a.is_delta)
     dbw.flush()
-    dna_sec = dbw.getvalue() + bitpack.words_to_bytes(
-        np.asarray(d_words)[: int(d_total)]
-    )
+    dna_sec = dbw.getvalue() + bitpack.words_to_bytes(d_stream)
 
     out = bytearray()
     for sec in (meta.getvalue(), title_sec, quality_sec, dna_sec):
         out += len(sec).to_bytes(4, "big")
         out += sec
     return bytes(out)
+
+
+def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> bytes:
+    """Single-shot composition of the three pipeline stages (the compress
+    driver runs them software-pipelined across sub-blocks to overlap host
+    prep, device compute, and device→host fetches)."""
+    return stage_c(stage_b(stage_a(buf, idx, cfg), cfg), cfg)
 
 
 def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
@@ -192,19 +311,6 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
         lens_np = np.full(R, Lt, np.int32) if R else np.zeros(0, np.int32)
 
     G = cfg.records_per_substream
-    Rp = bucket_records(R, G)
-    lens_pad = np.concatenate([lens_np, np.zeros(Rp - R, np.int32)])
-    lens_j = jnp.array(lens_pad)
-
-    # Decode-side word buffers are padded to the same static caps the encoder
-    # used so every sub-block reuses one compiled executable (dynamic word
-    # counts would recompile per sub-block).
-    cap = _word_cap(Rp, L, G)
-
-    def _padded(words: np.ndarray, n: int) -> np.ndarray:
-        out = np.zeros(n, np.uint32)
-        out[: words.shape[0]] = words
-        return out
 
     # title
     br = BitReader(title_sec)
@@ -218,6 +324,23 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
     br = BitReader(quality_sec)
     q_tables, q_sub, q_total = quality.read_header(br)
     br.align()
+
+    # Rp comes from the stored substream-table length, making decode agnostic
+    # to the encoder's shard count / bucketing.
+    Rp = q_sub.shape[0] * G if q_sub.shape[0] else bucket_records(R, G)
+    lens_pad = np.concatenate([lens_np, np.zeros(Rp - R, np.int32)])
+    lens_j = jnp.array(lens_pad)
+
+    # Decode-side word buffers are padded to the same static caps the encoder
+    # used so every sub-block reuses one compiled executable (dynamic word
+    # counts would recompile per sub-block).
+    cap = _word_cap(Rp, L, G)
+
+    def _padded(words: np.ndarray, n: int) -> np.ndarray:
+        out = np.zeros(n, np.uint32)
+        out[: words.shape[0]] = words
+        return out
+
     q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)), cap)
     qual_t = quality.decode_device(
         jnp.array(q_words), jnp.array(q_sub), lens_j,

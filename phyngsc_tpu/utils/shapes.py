@@ -10,12 +10,14 @@ emit zero bits; true counts travel in the meta section.
 from __future__ import annotations
 
 
-def bucket_records(R: int, G: int) -> int:
+def bucket_records(R: int, G: int, shards: int = 1) -> int:
     """Round the record axis up to a power of two (min 512), then to a
-    multiple of the substream width G."""
+    multiple of the substream width G (× the data-shard count, so shard
+    boundaries align with substream boundaries)."""
     Rp = max(R, 512)
     Rp = 1 << (Rp - 1).bit_length()
-    return Rp + ((-Rp) % G)
+    m = G * max(shards, 1)
+    return Rp + ((-Rp) % m)
 
 
 def bucket_length(L: int) -> int:
