@@ -37,6 +37,7 @@ def _cfg_from(args) -> CodecConfig:
         subblock_input_bytes=args.subblock_bytes,
         records_per_substream=args.substream_records,
         max_code_len=args.max_code_len,
+        data_shards=getattr(args, "data_shards", 1),
     )
 
 
@@ -50,6 +51,10 @@ def main(argv=None) -> int:
     c.add_argument("output")
     c.add_argument("--writers", type=int, default=1,
                    help="number of logical writers (file regions)")
+    c.add_argument("--data-shards", type=int, default=1,
+                   help="shard stream encoders over this many devices")
+    c.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
     _add_codec_flags(c)
 
     d = sub.add_parser("decompress", help=".ngsct → FASTQ")
@@ -65,10 +70,13 @@ def main(argv=None) -> int:
 
     if args.cmd == "compress":
         from phyngsc_tpu.pipeline.compress import compress_file
+        from phyngsc_tpu.utils.logging import trace
 
         stats: list = []
         t0 = time.perf_counter()
-        compress_file(args.input, args.output, _cfg_from(args), args.writers, stats)
+        with trace(args.profile):
+            compress_file(args.input, args.output, _cfg_from(args),
+                          args.writers, stats)
         dt = time.perf_counter() - t0
         for s in stats:
             print(f"[I] writer {s.writer_id}: {s.seconds:.3f}s "

@@ -165,6 +165,18 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
 
 
 @jax.jit
+def _keep_from_quality(qual_t, lens):
+    L = qual_t.shape[1]
+    v = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    return (qual_t < 128) & v
+
+
+@jax.jit
+def _fuse_seq_qual(seq, qual):
+    return jnp.stack([seq, qual])
+
+
+@jax.jit
 def _fuse_counts(q_counts, d_counts):
     return jnp.concatenate(
         [q_counts.reshape(-1).astype(jnp.int32),
@@ -347,27 +359,28 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
         jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
     )
 
-    # dna
+    # dna — the keep mask stays on device (quality >= 128 marks transferred
+    # positions); the whole quality→dna→restore→delta chain runs without a
+    # device→host sync, finishing in one fused (seq, qual) fetch.
     br = BitReader(dna_sec)
     d_plan, d_sub, d_total, is_delta_hdr = dna.read_header(br)
     br.align()
     d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), cap)
-    keep = (np.asarray(qual_t) < 128) & (
-        np.arange(L)[None, :] < lens_pad[:, None]
-    )
+    keep = _keep_from_quality(qual_t, lens_j)
     if d_plan.mode == dna.MODE_PLAIN:
         dna_syms = dna.decode_plain(jnp.array(d_words), jnp.array(d_sub),
-                                    jnp.array(keep), L, G)
+                                    keep, L, G)
     else:
         dna_syms = dna.decode_huffman(
-            jnp.array(d_words), jnp.array(d_sub), jnp.array(keep),
+            jnp.array(d_words), jnp.array(d_sub), keep,
             jnp.array(d_plan.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
         )
     seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens_j)
     if is_delta or is_delta_hdr:
         seq_j = dna.delta_untranslate(seq_j, lens_j)
-    seq_np = np.asarray(seq_j)[:R]
-    qual_np = np.asarray(qual_j)[:R]
+    both = np.asarray(_fuse_seq_qual(seq_j, qual_j))  # one fetch
+    seq_np = both[0, :R]
+    qual_np = both[1, :R]
 
     # reassemble FASTQ text (vectorized scatter)
     rec_bytes = tlens_np.astype(np.int64) + 1 + lens_np.astype(np.int64) + 1 + 2 + lens_np.astype(np.int64) + 1

@@ -1,0 +1,111 @@
+"""Native host runtime vs numpy reference paths."""
+
+import numpy as np
+import pytest
+
+from phyngsc_tpu.utils import native
+from phyngsc_tpu.utils.fastq import index_records, synthesize_fastq
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built")
+
+
+def test_index_matches_numpy():
+    data = synthesize_fastq(500, read_len=36, seed=0)
+    buf = np.frombuffer(data, np.uint8)
+    spans = native.index_records(buf)
+    assert spans is not None
+    import os
+
+    os.environ["PHYNGSC_NO_NATIVE"] = "1"
+    try:
+        # force the numpy path via a fresh loader state
+        idx = index_records(buf)
+    finally:
+        del os.environ["PHYNGSC_NO_NATIVE"]
+    for got, want in zip(spans, (idx.title_start, idx.title_end, idx.seq_start,
+                                 idx.seq_end, idx.qual_start, idx.qual_end)):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_index_rejects_invalid():
+    # native path returns None on validation failure; fastq falls back to
+    # numpy which raises with the precise record
+    bad = b"@r1\nACGT\n+\nIII\n"
+    assert native.index_records(np.frombuffer(bad, np.uint8)) is None
+
+
+def test_gather_matches_numpy():
+    rng = np.random.default_rng(1)
+    buf = rng.integers(0, 256, size=10_000).astype(np.uint8)
+    starts = rng.integers(0, 9000, size=64).astype(np.int64)
+    lens = rng.integers(0, 40, size=64).astype(np.int32)
+    got = native.gather(buf, starts, lens, 48)
+    assert got is not None
+    want = np.zeros((64, 48), np.uint8)
+    for r in range(64):
+        want[r, : lens[r]] = buf[starts[r] : starts[r] + lens[r]]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_huffman_lengths_valid():
+    from phyngsc_tpu.ops.huffman import singleton_of
+
+    rng = np.random.default_rng(2)
+    hist = np.zeros((6, 256), np.int64)
+    hist[0, rng.choice(256, 40, replace=False)] = rng.zipf(1.5, 40)
+    hist[1, :] = 1                      # full flat alphabet
+    hist[2, 7] = 100                    # singleton
+    hist[3, :32] = 2 ** np.arange(32)   # skewed → hits the length limit
+    hist[4, 10] = 5
+    hist[4, 20] = 5
+    # hist[5] all zero → empty
+    built = native.huffman_lengths(hist, 12)
+    assert built is not None
+    lens, singles = built
+    for k in range(6):
+        present = hist[k] > 0
+        ls = lens[k].astype(np.int64)
+        if present.sum() == 0:
+            assert np.all(ls == 0) and singles[k] == -1
+            continue
+        if present.sum() == 1:
+            assert singles[k] == singleton_of(hist[k])
+            assert np.all(ls == 0)
+            continue
+        assert singles[k] == -1
+        assert np.all(ls[present] >= 1) and np.all(ls[present] <= 12)
+        assert np.all(ls[~present] == 0)
+        kraft = np.sum(np.where(present, 2.0 ** (-ls.astype(float)), 0))
+        assert kraft <= 1.0 + 1e-12
+    # near-optimality on the zipf tree: within 6% of entropy + 1
+    f = hist[0][hist[0] > 0].astype(float)
+    p = f / f.sum()
+    ent = -(p * np.log2(p)).sum()
+    avg = (f * lens[0][hist[0] > 0]).sum() / f.sum()
+    assert avg <= (ent + 1) * 1.06
+
+
+def test_huffman_matches_roundtrip_in_codec():
+    # the quality codec uses native tables when available — full loop check
+    import jax.numpy as jnp
+
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.models import quality
+
+    cfg = CodecConfig(records_per_substream=8)
+    rng = np.random.default_rng(3)
+    R, L, G = 32, 12, 8
+    qual = rng.integers(33, 70, size=(R, L)).astype(np.uint8)
+    lens = np.full(R, L, np.int32)
+    counts = quality.analyze(jnp.array(qual), jnp.array(lens))
+    tables = quality.build_tables(np.asarray(counts), cfg)
+    words, sub, tot = quality.encode_device(
+        jnp.array(qual), jnp.array(lens), jnp.array(tables.codes),
+        jnp.array(tables.lens), G, R * L,
+    )
+    got = quality.decode_device(
+        words[: int(tot)], jnp.array(np.asarray(sub)), jnp.array(lens),
+        jnp.array(tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
+    )
+    np.testing.assert_array_equal(np.asarray(got), qual)
