@@ -175,4 +175,66 @@ void phyngsc_huffman_lengths(const int64_t *hist, int32_t K, int32_t A,
   }
 }
 
+// Single-pass title scan: separator positions/chars plus per-field canonical
+// numeric parse (<= 18 digits, no leading zero unless "0"). Replaces the
+// tokenize + per-field digit loops of the title model (models/title.py) —
+// the dominant host cost after everything else moved to device.
+// sep_tab: 256-entry 0/1 separator table. Field f of record r spans
+// [prev_sep+1, sep_pos[r,f]).
+void phyngsc_title_scan(const uint8_t *titles, const int32_t *tlens,
+                        int64_t R, int64_t TL, const uint8_t *sep_tab,
+                        int32_t max_seps,
+                        int32_t *nsep,        // (R,)
+                        int32_t *sep_pos,     // (R, max_seps)
+                        uint8_t *sep_chars,   // (R, max_seps)
+                        int64_t *values,      // (R, max_seps+1)
+                        uint8_t *numeric_ok   // (R, max_seps+1)
+) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < R; ++r) {
+    const uint8_t *t = titles + r * TL;
+    const int32_t n = tlens[r];
+    int32_t ns = 0;
+    int32_t field = 0;
+    int64_t val = 0;
+    int32_t digits = 0;
+    bool all_digits = true;
+    bool leading_zero = false;
+    int64_t *v = values + r * (max_seps + 1);
+    uint8_t *ok = numeric_ok + r * (max_seps + 1);
+    auto close_field = [&]() {
+      if (field <= max_seps) {
+        bool good = all_digits && digits >= 1 && digits <= 18 &&
+                    !(leading_zero && digits > 1);
+        v[field] = good ? val : 0;
+        ok[field] = good ? 1 : 0;
+      }
+      val = 0;
+      digits = 0;
+      all_digits = true;
+      leading_zero = false;
+      ++field;
+    };
+    for (int32_t i = 0; i < n; ++i) {
+      uint8_t c = t[i];
+      if (sep_tab[c]) {
+        close_field();
+        if (ns < max_seps) {
+          sep_pos[r * max_seps + ns] = i;
+          sep_chars[r * max_seps + ns] = c;
+        }
+        ++ns;
+      } else if (c >= '0' && c <= '9') {
+        if (digits == 0 && c == '0') leading_zero = true;
+        if (digits < 19) val = val * 10 + (c - '0');
+        ++digits;
+      } else {
+        all_digits = false;
+      }
+    }
+    close_field();
+    nsep[r] = ns;
+  }
+}
+
 }  // extern "C"

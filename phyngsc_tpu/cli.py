@@ -28,7 +28,7 @@ def _add_codec_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--substream-records", type=int, default=d.records_per_substream,
                    help="records per decode substream")
     p.add_argument("--max-code-len", type=int, default=d.max_code_len,
-                   help="Huffman code length cap (<= 16)")
+                   help="Huffman code length cap (<= 12)")
 
 
 def _cfg_from(args) -> CodecConfig:

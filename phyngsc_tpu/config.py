@@ -56,10 +56,18 @@ class CodecConfig:
     #: chip). Shard boundaries align with substreams, so the container format
     #: is identical for any shard count.
     data_shards: int = 1
+    #: Software-pipeline depth across sub-blocks (in-flight device batches).
+    #: Deep enough to hide device→host fetch latency; each in-flight
+    #: sub-block holds its device buffers (~4x the raw sub-block bytes).
+    pipeline_depth: int = 4
 
     def __post_init__(self) -> None:
-        if self.max_code_len > 16:
-            raise ValueError("max_code_len > 16 breaks the 2-word bitpack invariant")
+        if self.max_code_len > 12:
+            raise ValueError(
+                "max_code_len > 12 breaks the fused MXU lookup (ops/lookup.py "
+                "CODE_BITS) — alphabets here are <= 256 so 12 bits lose "
+                "nothing measurable"
+            )
         if self.block_size < (1 << 16):
             raise ValueError("block_size too small for header framing")
         if self.records_per_substream < 1:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
-from phyngsc_tpu.ops import bitpack, histogram, huffman
+from phyngsc_tpu.ops import bitpack, histogram, huffman, lookup
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
 
 ALPHABET = 256
@@ -92,21 +92,26 @@ def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
                   records_per_substream: int, n_words_cap: int):
     """Pack the quality stream. Returns (words, sub_n_words, total_words).
 
+    TPU path: per-position (code,len) lookup runs as a one-hot MXU matmul
+    (9x over XLA gather, see ops/lookup.py) and adjacent symbols are paired
+    before packing (combined <= 24 bits), halving the scatter count. The bit
+    layout is identical to symbol-at-a-time packing, so decode is unchanged.
     words is a fixed `n_words_cap` buffer (static shape for jit); the caller
     slices to total_words.
     """
     R, L = qual.shape
     n_trees = lens_tab.shape[0]
     pos = jnp.arange(L, dtype=jnp.int32)
-    tree = tree_of_position(pos, n_trees)[None, :]
-    q = qual.astype(jnp.int32)
+    tree = tree_of_position(pos, n_trees)
     v = valid_mask(lens, L)
-    sym_codes = codes_tab[tree, q]
-    sym_lens = jnp.where(v, lens_tab[tree, q].astype(jnp.int32), 0)
-    lay = bitpack.substream_layout(sym_lens, records_per_substream)
-    words = bitpack.pack_bits_scatter(
-        jnp.where(v, sym_codes, 0), sym_lens, lay["bit_offsets"], n_words_cap
-    )
+    fused_tab = lookup.fuse_tables(codes_tab, lens_tab)[tree]  # (L, 256)
+    fused = lookup.fused_lookup(qual, fused_tab)
+    sym_codes, sym_lens = lookup.split_fused(fused)
+    sym_lens = jnp.where(v, sym_lens, 0)
+    sym_codes = jnp.where(v, sym_codes, 0)
+    pc, pl = lookup.pair_codes(sym_codes, sym_lens)
+    lay = bitpack.substream_layout(pl, records_per_substream)
+    words = bitpack.pack_bits_scatter(pc, pl, lay["bit_offsets"], n_words_cap)
     return words, lay["sub_n_words"], lay["total_words"]
 
 

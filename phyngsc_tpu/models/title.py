@@ -187,6 +187,18 @@ def plan_numeric(content: np.ndarray, flens: np.ndarray) -> Optional[NumericPlan
         * (10 ** place.astype(np.int64)),
         axis=1,
     )
+    return _numeric_plan_from_values(vals)
+
+
+def plan_numeric_scan(vals: np.ndarray, ok: np.ndarray) -> Optional[NumericPlan]:
+    """Fast path from the native title scan (values + validity pre-parsed)."""
+    if vals.shape[0] == 0 or not bool(np.all(ok)):
+        return None
+    return _numeric_plan_from_values(vals)
+
+
+def _numeric_plan_from_values(vals: np.ndarray) -> NumericPlan:
+    R = vals.shape[0]
     vmin, vmax = int(vals.min()), int(vals.max())
     width_v = bit_length(vmax - vmin) if vmax > vmin else 0
     bits_v = R * width_v
@@ -273,16 +285,57 @@ class TitlePlan:
 
 @dataclasses.dataclass
 class TitleContext:
-    """Tokenization + per-field content computed once per sub-block and
-    shared by analyze and encode (each needs the same gathers)."""
+    """Tokenization (+ native numeric pre-parse) computed once per sub-block
+    and shared by analyze and encode. Field content matrices are gathered
+    lazily — numeric fields never need them."""
+    titles: np.ndarray
     tok: Tokenized
-    contents: List[np.ndarray]
+    scan_values: Optional[np.ndarray] = None      # (R, F) int64
+    scan_numeric_ok: Optional[np.ndarray] = None  # (R, F) bool
+    _contents: dict = dataclasses.field(default_factory=dict)
+
+    def content(self, f: int) -> np.ndarray:
+        c = self._contents.get(f)
+        if c is None:
+            c = self._contents[f] = field_content(self.titles, self.tok, f)
+        return c
 
     @classmethod
     def build(cls, titles: np.ndarray, tlens: np.ndarray) -> "TitleContext":
-        tok = tokenize(titles, tlens)
-        contents = [field_content(titles, tok, f) for f in range(tok.n_fields)]
-        return cls(tok, contents)
+        from phyngsc_tpu.utils import native
+
+        R = titles.shape[0]
+        scan = native.title_scan(titles, tlens, SEPARATORS) if R else None
+        if scan is not None and np.all(scan["nsep"] == scan["nsep"][0]) \
+                and int(scan["nsep"][0]) < scan["sep_pos"].shape[1]:
+            ns = int(scan["nsep"][0])
+            raw_ok = True
+            if ns > 0:
+                chars = scan["sep_chars"][:, :ns]
+                raw_ok = bool(np.all(chars == chars[0]))
+            if raw_ok and ns > 0:
+                F = ns + 1
+                cols = scan["sep_pos"][:, :ns]
+                starts = np.zeros((R, F), np.int32)
+                starts[:, 1:] = cols + 1
+                ends = np.concatenate(
+                    [cols, tlens.astype(np.int32)[:, None]], axis=1)
+                tok = Tokenized(F, scan["sep_chars"][0, :ns].copy(),
+                                starts, ends - starts)
+                return cls(titles, tok, scan["values"][:, :F],
+                           scan["numeric_ok"][:, :F])
+            if raw_ok and ns == 0:
+                tok = Tokenized(1, np.zeros(0, np.uint8),
+                                np.zeros((R, 1), np.int32),
+                                tlens.astype(np.int32)[:, None])
+                return cls(titles, tok, scan["values"][:, :1],
+                           scan["numeric_ok"][:, :1])
+            # inconsistent schema → raw fallback (single whole-title field)
+            tok = Tokenized(1, np.zeros(0, np.uint8),
+                            np.zeros((R, 1), np.int32),
+                            tlens.astype(np.int32)[:, None])
+            return cls(titles, tok)
+        return cls(titles, tokenize(titles, tlens))
 
 
 def analyze(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
@@ -290,11 +343,13 @@ def analyze(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
     ctx = ctx or TitleContext.build(titles, tlens)
     fields = []
     for f in range(ctx.tok.n_fields):
-        content = ctx.contents[f]
         flens = ctx.tok.lens[:, f]
-        p = plan_numeric(content, flens)
+        if ctx.scan_numeric_ok is not None:
+            p = plan_numeric_scan(ctx.scan_values[:, f], ctx.scan_numeric_ok[:, f])
+        else:
+            p = plan_numeric(ctx.content(f), flens)
         if p is None:
-            p = plan_char(content, flens, cfg)
+            p = plan_char(ctx.content(f), flens, cfg)
         fields.append(p)
     return TitlePlan(ctx.tok, fields)
 
@@ -322,7 +377,10 @@ def _fixed_payload(plan: TitlePlan, ctx: TitleContext, R: int) -> np.ndarray:
         if p.kind == KIND_NUMERIC:
             if p.width == 0:
                 continue
-            vals = _numeric_values(ctx.contents[f], tok.lens[:, f])
+            if ctx.scan_values is not None:
+                vals = ctx.scan_values[:, f]
+            else:
+                vals = _numeric_values(ctx.content(f), tok.lens[:, f])
             if p.mode == NUM_VALUE:
                 enc = vals - p.base
             else:
@@ -349,7 +407,7 @@ def _char_symbols(plan: TitlePlan, ctx: TitleContext, R: int):
     for f, p in enumerate(plan.fields):
         if p.kind != KIND_CHAR or p.max_len == 0:
             continue
-        content = ctx.contents[f]
+        content = ctx.content(f)
         flens = tok.lens[:, f]
         W = p.max_len
         base = plan.char_tree_base(f)

@@ -1,0 +1,110 @@
+"""Table lookups as one-hot MXU matmuls.
+
+XLA's general gather is the slowest primitive on TPU (measured 52.8 ms for a
+2.36M-element gather from a (36,256) table vs 5.9 ms as a matmul — the MXU is
+the machine's only fast "indexed read"). A per-position code-table lookup
+out[r,p] = tab[p, sym[r,p]] is exactly a batched one-hot contraction:
+
+    out[c, p] = Σ_s onehot(sym[c,p])[s] · tab[p, s]
+
+One-hot rows are 0/1 (exact in bfloat16) and each row selects a single
+element, so the f32 accumulation is exact as long as each table plane fits
+the mantissa; tables are split into 8-bit planes to guarantee it. Chunked
+over records so the one-hot tile stays in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+#: fused entry layout: (len << CODE_BITS) | code
+CODE_BITS = 12
+
+
+def fuse_tables(codes, lens):
+    """(T, A) uint32 codes + (T, A) uint8 lens → (T, A) int32 fused entries.
+    Requires code < 2**CODE_BITS (i.e. max_code_len <= 12)."""
+    return (lens.astype(jnp.int32) << CODE_BITS) | codes.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def fused_lookup(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
+                 chunk: int = 4096) -> jnp.ndarray:
+    """symbols (R, L) uint8/int32, fused_tab (L, A) int32 (one row per
+    position; caller clamps tree indices) → fused entries (R, L) int32."""
+    R, L = symbols.shape
+    A = fused_tab.shape[1]
+    lo = (fused_tab & 0xFF).astype(jnp.bfloat16)
+    hi = ((fused_tab >> 8) & 0xFFFF).astype(jnp.bfloat16)  # < 2^9 for 16-bit fused
+
+    pad = (-R) % chunk
+    sym = jnp.pad(symbols.astype(jnp.int32), ((0, pad), (0, 0)))
+    ids = jnp.arange(A, dtype=jnp.int32)
+
+    def step(carry, s_ch):  # s_ch (chunk, L)
+        oh = (s_ch[:, :, None] == ids[None, None, :]).astype(jnp.bfloat16)
+        # batch dim: position (axis 1 of oh / axis 0 of tab)
+        vlo = jax.lax.dot_general(
+            oh, lo, (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32)
+        vhi = jax.lax.dot_general(
+            oh, hi, (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32)
+        return carry, (vhi.astype(jnp.int32) << 8) | vlo.astype(jnp.int32)
+
+    n_ch = sym.shape[0] // chunk
+    _, fused = jax.lax.scan(step, 0, sym.reshape(n_ch, chunk, L))
+    # scan output is (n_ch, L, chunk) — batch dim leads after dot_general
+    return fused.transpose(0, 2, 1).reshape(-1, L)[:R]
+
+
+def split_fused(fused: jnp.ndarray):
+    """fused entries → (codes uint32, lens int32)."""
+    return ((fused & ((1 << CODE_BITS) - 1)).astype(jnp.uint32),
+            (fused >> CODE_BITS).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Symbol pairing: halve the scatter count by emitting two codes per element.
+# Bit layout is unchanged (first symbol occupies the higher bits), so decode
+# is unaffected. Requires combined length <= 32 and combined code < 2^32:
+# guaranteed for max_code_len <= 16.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def pair_codes(codes: jnp.ndarray, lens: jnp.ndarray):
+    """(R, L) → (R, ceil(L/2)) combined codes/lens."""
+    R, L = codes.shape
+    if L % 2:
+        codes = jnp.pad(codes, ((0, 0), (0, 1)))
+        lens = jnp.pad(lens, ((0, 0), (0, 1)))
+    c1 = codes[:, 0::2].astype(jnp.uint32)
+    c2 = codes[:, 1::2].astype(jnp.uint32)
+    l1 = lens[:, 0::2].astype(jnp.int32)
+    l2 = lens[:, 1::2].astype(jnp.int32)
+    combined = (c1 << jnp.clip(l2, 0, 31).astype(jnp.uint32)) | c2
+    return combined, l1 + l2
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def group_fixed2(values: jnp.ndarray, keep: jnp.ndarray, group: int = 16):
+    """Pack 2-bit symbols in groups: (R, L) values/keep →
+    (R, ceil(L/group)) codes/lens. Kept symbols concatenate MSB-first in
+    position order; dropped positions contribute nothing. With group=16 the
+    scatter count drops 16× for the DNA plain stream."""
+    R, L = values.shape
+    pad = (-L) % group
+    v = jnp.pad(values.astype(jnp.uint32), ((0, 0), (0, pad)))
+    k = jnp.pad(keep.astype(jnp.int32), ((0, 0), (0, pad)))
+    Lp = v.shape[1]
+    vg = v.reshape(R, Lp // group, group)
+    kg = k.reshape(R, Lp // group, group)
+    bits_before = (jnp.cumsum(kg, axis=2) - kg) * 2
+    total = jnp.sum(kg, axis=2) * 2                      # (R, n_groups)
+    shift = total[:, :, None] - bits_before - 2
+    contrib = jnp.where(
+        kg > 0, vg << jnp.clip(shift, 0, 31).astype(jnp.uint32), 0)
+    return jnp.sum(contrib, axis=2).astype(jnp.uint32), total.astype(jnp.int32)

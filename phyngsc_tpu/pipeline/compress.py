@@ -70,24 +70,29 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
     a_q: List = []  # [(writer_pos, _StageA)]
     b_q: List = []  # [(writer_pos, _StageB)]
 
-    def _advance_b():
-        w, a = a_q.pop(0)
-        b_q.append((w, sbmod.stage_b(a, cfg, codec)))
+    import concurrent.futures as cf
 
-    def _advance_c():
-        w, b = b_q.pop(0)
-        sub_payloads[w].append(sbmod.stage_c(b, cfg))
+    with cf.ThreadPoolExecutor(max_workers=2) as executor:
 
-    for w, idx_slice in tasks:
-        a_q.append((w, sbmod.stage_a(buf, idx_slice, cfg, codec)))
-        if len(a_q) >= 2:
+        def _advance_b():
+            w, a = a_q.pop(0)
+            b_q.append((w, sbmod.stage_b(a, cfg, codec)))
+
+        def _advance_c():
+            w, b = b_q.pop(0)
+            sub_payloads[w].append(sbmod.stage_c(b, cfg))
+
+        depth = max(cfg.pipeline_depth, 1)
+        for w, idx_slice in tasks:
+            a_q.append((w, sbmod.stage_a(buf, idx_slice, cfg, codec, executor)))
+            if len(a_q) >= depth:
+                _advance_b()
+            if len(b_q) >= depth:
+                _advance_c()
+        while a_q:
             _advance_b()
-        if len(b_q) >= 2:
+        while b_q:
             _advance_c()
-    while a_q:
-        _advance_b()
-    while b_q:
-        _advance_c()
     total_s = time.perf_counter() - t_start
 
     per_writer_blocks: List[List[blockmod.Block]] = []

@@ -87,7 +87,7 @@ class _StageA:
 
     __slots__ = ("R", "Lt", "L", "Rp", "lens_np", "tlens_np", "titles_np",
                  "is_delta", "seq_j", "lens_j", "qual_t", "keep",
-                 "counts_blob", "n_q_counts")
+                 "counts_blob", "n_q_counts", "t_future")
 
 
 class _StageB:
@@ -118,9 +118,13 @@ def _host_async(*arrays) -> None:
 
 
 def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
-            codec=None) -> _StageA:
-    """codec: optional parallel.mesh.ShardedSubblockCodec for multi-chip."""
+            codec=None, executor=None) -> _StageA:
+    """codec: optional parallel.mesh.ShardedSubblockCodec for multi-chip.
+    executor: optional ThreadPoolExecutor — the host-heavy title encode runs
+    on a worker thread, overlapping device dispatch of later stages (numpy
+    and the native runtime release the GIL)."""
     st = _StageA()
+    st.t_future = None
     R = st.R = idx.n_records
     G = cfg.records_per_substream
     lens_np = st.lens_np = idx.seq_len.astype(np.int32)
@@ -161,6 +165,8 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     st.n_q_counts = int(q_counts.shape[0]) * int(q_counts.shape[1])
     st.counts_blob = _fuse_counts(q_counts, d_counts)
     _host_async(st.counts_blob)
+    if executor is not None:
+        st.t_future = executor.submit(title.encode, st.titles_np, tlens_np, cfg)
     return st
 
 
@@ -225,8 +231,10 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
             a.seq_j, a.keep, jnp.array(st.d_plan.codes_tab),
             jnp.array(st.d_plan.lens_tab), st.d_plan.mode, G, cap,
         )
-    # title is host-heavy: runs while the device packs quality/dna
-    st.t_enc = title.encode(a.titles_np, a.tlens_np, cfg)
+    # title is host-heavy: runs on a worker thread started in stage A (or
+    # inline here), while the device packs quality/dna
+    st.t_enc = a.t_future.result() if a.t_future is not None \
+        else title.encode(a.titles_np, a.tlens_np, cfg)
     sizes = [int(np.prod(x.shape)) for x in
              (q_words, d_words, q_sub, d_sub)]
     st.blob_layout = sizes

@@ -56,6 +56,13 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.phyngsc_title_scan.restype = None
+    lib.phyngsc_title_scan.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32,
+        i32p, i32p, ctypes.c_void_p, i64p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -102,6 +109,36 @@ def gather(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
         out.ctypes.data,
     )
     return out
+
+
+def title_scan(titles: np.ndarray, tlens: np.ndarray, separators: bytes,
+               max_seps: int = 31):
+    """Single-pass tokenize + numeric parse. Returns dict with nsep (R,),
+    sep_pos/sep_chars (R, max_seps), values/numeric_ok (R, max_seps+1),
+    or None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    titles = np.ascontiguousarray(titles, dtype=np.uint8)
+    tlens = np.ascontiguousarray(tlens, dtype=np.int32)
+    R, TL = titles.shape
+    sep_tab = np.zeros(256, np.uint8)
+    for c in separators:
+        sep_tab[c] = 1
+    nsep = np.zeros(R, np.int32)
+    sep_pos = np.zeros((R, max_seps), np.int32)
+    sep_chars = np.zeros((R, max_seps), np.uint8)
+    values = np.zeros((R, max_seps + 1), np.int64)
+    numeric_ok = np.zeros((R, max_seps + 1), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.phyngsc_title_scan(
+        titles.ctypes.data, tlens.ctypes.data_as(i32p), R, TL,
+        sep_tab.ctypes.data, max_seps,
+        nsep.ctypes.data_as(i32p), sep_pos.ctypes.data_as(i32p),
+        sep_chars.ctypes.data, _i64p(values), numeric_ok.ctypes.data,
+    )
+    return {"nsep": nsep, "sep_pos": sep_pos, "sep_chars": sep_chars,
+            "values": values, "numeric_ok": numeric_ok.astype(bool)}
 
 
 def huffman_lengths(hist: np.ndarray, max_len: int):
