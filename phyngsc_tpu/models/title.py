@@ -214,6 +214,30 @@ def _numeric_plan_from_values(vals: np.ndarray) -> NumericPlan:
 
 def plan_char(content: np.ndarray, flens: np.ndarray, cfg: CodecConfig) -> CharPlan:
     R, W = content.shape
+    # constant-field fast path (ubiquitous in real titles: run ids, machine
+    # names): every position is a zero-bit singleton tree, no histograms
+    if R and W and bool(np.all(flens == flens[0])) and bool(np.all(content == content[0])):
+        cl = int(flens[0])
+        P = min(W, cfg.max_stat_positions)
+        n_trees = P  # cl == W <= max positions in practice; overflow below
+        if W > P:
+            n_trees = P + 1
+        singles = np.full(n_trees, -1, np.int32)
+        singles[: min(P, W)] = content[0, : min(P, W)].astype(np.int32)
+        if W > P:
+            # overflow tree: constant too only if tail chars are all equal
+            tail = content[0, P:W]
+            if np.all(tail == tail[0]):
+                singles[-1] = int(tail[0])
+            else:
+                counts = np.zeros((1, ALPHABET), np.int64)
+                counts[0] = np.bincount(tail, minlength=ALPHABET)[:ALPHABET] * R
+                lens_tab = huffman.build_code_lengths_batch(counts, cfg.max_code_len)
+                full = np.zeros((n_trees, ALPHABET), np.uint8)
+                full[-1] = lens_tab[0]
+                return CharPlan(KIND_CHAR, W, cl, 0, full, singles)
+        return CharPlan(KIND_CHAR, W, cl, 0,
+                        np.zeros((n_trees, ALPHABET), np.uint8), singles)
     P = min(W, cfg.max_stat_positions)
     mask = np.arange(W)[None, :] < flens[:, None]
     n_trees = P + (1 if W > P else 0)
@@ -407,6 +431,9 @@ def _char_symbols(plan: TitlePlan, ctx: TitleContext, R: int):
     for f, p in enumerate(plan.fields):
         if p.kind != KIND_CHAR or p.max_len == 0:
             continue
+        # all-singleton (constant) fields emit zero bits — skip the gathers
+        if (p.const_len >= 0 and np.all(p.tables_singletons >= 0)):
+            continue
         content = ctx.content(f)
         flens = tok.lens[:, f]
         W = p.max_len
@@ -455,8 +482,7 @@ def encode(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
         cap = (Rp * stride + 31) // 32
         n_words = (R * stride + 31) // 32
         w = np.broadcast_to(widths[None, :], payload.shape).astype(np.int32)
-        fixed_words = np.asarray(bitpack.pack_bits_scatter(
-            jnp.array(payload), jnp.array(w), jnp.array(offs), cap))[:n_words]
+        fixed_words = bitpack.pack_bits_scatter_np(payload, w, offs, cap)[:n_words]
     else:
         fixed_words = np.zeros(0, np.uint32)
 
@@ -468,11 +494,10 @@ def encode(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
         codes = np.vstack([codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
         clens = np.vstack([clens, np.zeros((pad, clens.shape[1]), clens.dtype)])
     if codes.shape[1]:
-        lay = bitpack.substream_layout(jnp.array(clens), G)
+        lay = bitpack.substream_layout_np(clens, G)
         total = int(lay["total_words"])
-        cap = (Rp * codes.shape[1] * 16) // 32 + Rp // G + 8
-        char_words = np.asarray(bitpack.pack_bits_scatter(
-            jnp.array(codes), jnp.array(clens), lay["bit_offsets"], cap))[:total]
+        char_words = bitpack.pack_bits_scatter_np(
+            codes, clens, lay["bit_offsets"], max(total, 1))[:total]
         sub_n_words = np.asarray(lay["sub_n_words"])
     else:
         char_words = np.zeros(0, np.uint32)
@@ -496,11 +521,8 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
         prefix = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
         offs = (np.arange(Rp, dtype=np.int64)[:, None] * stride + prefix[None, :]).astype(np.int32)
         w = np.broadcast_to(widths[None, :], (Rp, K)).astype(np.int32)
-        fcap = (Rp * stride + 31) // 32  # static shape across sub-blocks
-        fw = np.zeros(fcap, np.uint32)
-        fw[: fixed_words.shape[0]] = fixed_words
-        chunks = np.asarray(bitpack.extract_fixed_width(
-            jnp.array(fw), jnp.array(offs), jnp.array(w), Rp * K)).reshape(Rp, K)[:R]
+        chunks = bitpack.extract_fixed_width_np(
+            fixed_words, offs, w).reshape(Rp, K)[:R]
     else:
         chunks = np.zeros((R, K), np.uint32)
 
@@ -579,18 +601,10 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
             tree_ids[srow[m], step[m]] = base + p.tree_of_pos(pos)[None, :].repeat(R, 0)[m]
             valid[srow[m], step[m]] = True
         luts = plan.luts(cfg.max_code_len)
-        # pad the packed words to the bucket-stable cap (S * T bits upper
-        # bound) so the unpack kernel compiles once per (S, T) bucket
-        ccap = (S * T + 1) // 2 + S + 8
-        cw = np.zeros(ccap, np.uint32)
-        cw[: min(char_words.shape[0], ccap)] = char_words[:ccap]
-        syms = np.asarray(bitpack.unpack_substreams(
-            jnp.array(cw),
-            jnp.concatenate([jnp.zeros(1, jnp.int32),
-                             jnp.cumsum(jnp.array(char_sub_n_words))[:-1].astype(jnp.int32)]),
-            jnp.array(luts), jnp.array(tree_ids), jnp.array(valid),
-            T, cfg.max_code_len,
-        ))
+        sub_start = np.concatenate(
+            [[0], np.cumsum(char_sub_n_words)[:-1]]).astype(np.int64)
+        syms = bitpack.unpack_substreams_np(
+            char_words, sub_start, luts, tree_ids, valid, T, cfg.max_code_len)
         for f in char_fields:
             p = plan.fields[f]
             fl = field_lens[:R, f]

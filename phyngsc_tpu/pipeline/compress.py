@@ -71,20 +71,34 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
     b_q: List = []  # [(writer_pos, _StageB)]
 
     import concurrent.futures as cf
+    import os as _os
+    import time as _time
+
+    timing = {} if _os.environ.get("PHYNGSC_TIMING") else None
+    sbmod.TIMING = timing
+
+    def _timed(label, fn):
+        if timing is None:
+            return fn()
+        t0 = _time.perf_counter()
+        r = fn()
+        timing[label] = timing.get(label, 0.0) + _time.perf_counter() - t0
+        return r
 
     with cf.ThreadPoolExecutor(max_workers=2) as executor:
 
         def _advance_b():
             w, a = a_q.pop(0)
-            b_q.append((w, sbmod.stage_b(a, cfg, codec)))
+            b_q.append((w, _timed("stage_b", lambda: sbmod.stage_b(a, cfg, codec))))
 
         def _advance_c():
             w, b = b_q.pop(0)
-            sub_payloads[w].append(sbmod.stage_c(b, cfg))
+            sub_payloads[w].append(_timed("stage_c", lambda: sbmod.stage_c(b, cfg)))
 
         depth = max(cfg.pipeline_depth, 1)
         for w, idx_slice in tasks:
-            a_q.append((w, sbmod.stage_a(buf, idx_slice, cfg, codec, executor)))
+            a_q.append((w, _timed("stage_a", lambda: sbmod.stage_a(
+                buf, idx_slice, cfg, codec, executor))))
             if len(a_q) >= depth:
                 _advance_b()
             if len(b_q) >= depth:
@@ -94,6 +108,11 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
         while b_q:
             _advance_c()
     total_s = time.perf_counter() - t_start
+    if timing is not None:
+        from phyngsc_tpu.utils.logging import info
+
+        parts = " ".join(f"{k}={v:.2f}s" for k, v in sorted(timing.items()))
+        info("pipeline timing: %s total=%.2fs tasks=%d", parts, total_s, len(tasks))
 
     per_writer_blocks: List[List[blockmod.Block]] = []
     n_subblocks_total = 0

@@ -32,9 +32,17 @@ def decompress_bytes(data: bytes, cfg: Optional[CodecConfig] = None) -> bytes:
         blocks.append((wid, data[off : off + size]))
         off += size
 
+    # software-pipelined decode: stage A (parse + device dispatch) of later
+    # sub-blocks overlaps the fused device→host fetch of earlier ones
     per_writer: dict = {w: [] for w in range(foot.n_writers)}
+    pending = []  # [(wid, _DStage)]
     for wid, payload in blockmod.iter_subblocks(iter(blocks)):
-        per_writer[wid].append(sbmod.decode_subblock(payload, cfg))
+        pending.append((wid, sbmod.decode_stage_a(payload, cfg)))
+        if len(pending) >= max(cfg.pipeline_depth, 1):
+            w, st = pending.pop(0)
+            per_writer[w].append(sbmod.decode_stage_b(st))
+    for w, st in pending:
+        per_writer[w].append(sbmod.decode_stage_b(st))
 
     out = bytearray()
     for w in range(foot.n_writers):

@@ -109,6 +109,19 @@ def _trim_shard_words(words: np.ndarray, totals: np.ndarray, n_shards: int
     return np.concatenate([per[d, : int(t[d])] for d in range(n_shards)])
 
 
+#: optional sub-step timing sink (set by the compress driver under
+#: PHYNGSC_TIMING; maps label → accumulated seconds)
+TIMING = None
+
+
+def _tick(label, t0):
+    import time as _t
+
+    if TIMING is not None:
+        TIMING[label] = TIMING.get(label, 0.0) + _t.perf_counter() - t0
+    return _t.perf_counter()
+
+
 def _host_async(*arrays) -> None:
     for a in arrays:
         try:
@@ -158,12 +171,11 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     if codec is not None:
         q_counts, d_counts, st.qual_t, st.keep = codec.analyze(
             seq_j, qual_j, lens_j)
+        st.n_q_counts = int(q_counts.shape[0]) * int(q_counts.shape[1])
+        st.counts_blob = _fuse_counts(q_counts, d_counts)
     else:
-        st.qual_t, st.keep, _ = dna.transfer_ambiguity(seq_j, qual_j, lens_j)
-        q_counts = quality.analyze(st.qual_t, lens_j)
-        d_counts = dna.analyze(seq_j, st.keep)
-    st.n_q_counts = int(q_counts.shape[0]) * int(q_counts.shape[1])
-    st.counts_blob = _fuse_counts(q_counts, d_counts)
+        st.qual_t, st.keep, st.counts_blob = _analyze_all(seq_j, qual_j, lens_j)
+        st.n_q_counts = min(L, quality.MAX_TREES) * quality.ALPHABET
     _host_async(st.counts_blob)
     if executor is not None:
         st.t_future = executor.submit(title.encode, st.titles_np, tlens_np, cfg)
@@ -190,6 +202,40 @@ def _fuse_counts(q_counts, d_counts):
     )
 
 
+@jax.jit
+def _analyze_all(seq, qual, lens):
+    """Whole stage-A device graph as ONE executable — the remote tunnel pays
+    per-call dispatch latency, so call count matters as much as FLOPs."""
+    qual_t, keep, _ = dna.transfer_ambiguity(seq, qual, lens)
+    q_counts = quality.analyze(qual_t, lens)
+    d_counts = dna.analyze(seq, keep)
+    blob = jnp.concatenate(
+        [q_counts.reshape(-1).astype(jnp.int32),
+         d_counts.reshape(-1).astype(jnp.int32)]
+    )
+    return qual_t, keep, blob
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "G", "cap"))
+def _encode_all(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
+                mode, G, cap):
+    """Whole stage-B device graph (both stream encoders + output fusion) as
+    one executable; returns the fused fetch blob + layout sizes."""
+    q_words, q_sub, q_total = quality.encode_device(
+        qual_t, lens, q_codes, q_lens, G, cap)
+    d_words, d_sub, d_total = dna.encode_device(
+        seq, keep, d_codes, d_lens, mode, G, cap)
+    blob = jnp.concatenate([
+        q_words.reshape(-1),
+        d_words.reshape(-1),
+        q_sub.reshape(-1).astype(jnp.uint32),
+        d_sub.reshape(-1).astype(jnp.uint32),
+        q_total.reshape(-1).astype(jnp.uint32),
+        d_total.reshape(-1).astype(jnp.uint32),
+    ])
+    return blob
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _fuse_blob(q_words, q_sub, q_total, d_words, d_sub, d_total):
     return jnp.concatenate([
@@ -203,16 +249,22 @@ def _fuse_blob(q_words, q_sub, q_total, d_words, d_sub, d_total):
 
 
 def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
+    import time as _t
+
+    t0 = _t.perf_counter()
     st = _StageB()
     st.a = a
     G = cfg.records_per_substream
     st.n_shards = codec.n_data if codec is not None else 1
     counts = np.asarray(a.counts_blob)  # the one stage-A fetch
+    t0 = _tick("b.counts_fetch", t0)
     q_counts = counts[: a.n_q_counts].reshape(-1, quality.ALPHABET)
     d_counts = counts[a.n_q_counts :]
     st.q_tables = quality.build_tables(q_counts, cfg)
     st.d_plan = dna.plan(d_counts, cfg)
+    t0 = _tick("b.tables", t0)
 
+    S = a.Rp // G
     if codec is not None:
         cap = _word_cap(a.Rp // st.n_shards, a.L, G)
         q_words, q_sub, q_total, d_words, d_sub, d_total = codec.encode(
@@ -221,25 +273,25 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
             jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
             G, cap, st.d_plan.mode,
         )
+        st.blob_layout = [int(np.prod(x.shape)) for x in
+                          (q_words, d_words, q_sub, d_sub)]
+        st.blob = _fuse_blob(q_words, q_sub, jnp.asarray(q_total),
+                             d_words, d_sub, jnp.asarray(d_total))
     else:
         cap = _word_cap(a.Rp, a.L, G)
-        q_words, q_sub, q_total = quality.encode_device(
-            a.qual_t, a.lens_j, jnp.array(st.q_tables.codes),
-            jnp.array(st.q_tables.lens), G, cap,
+        st.blob = _encode_all(
+            a.qual_t, a.keep, a.seq_j, a.lens_j,
+            jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
+            jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
+            st.d_plan.mode, G, cap,
         )
-        d_words, d_sub, d_total = dna.encode_device(
-            a.seq_j, a.keep, jnp.array(st.d_plan.codes_tab),
-            jnp.array(st.d_plan.lens_tab), st.d_plan.mode, G, cap,
-        )
+        st.blob_layout = [cap, cap, S, S]
+    t0 = _tick("b.encode_dispatch", t0)
     # title is host-heavy: runs on a worker thread started in stage A (or
     # inline here), while the device packs quality/dna
     st.t_enc = a.t_future.result() if a.t_future is not None \
         else title.encode(a.titles_np, a.tlens_np, cfg)
-    sizes = [int(np.prod(x.shape)) for x in
-             (q_words, d_words, q_sub, d_sub)]
-    st.blob_layout = sizes
-    st.blob = _fuse_blob(q_words, q_sub, jnp.asarray(q_total),
-                         d_words, d_sub, jnp.asarray(d_total))
+    t0 = _tick("b.title", t0)
     _host_async(st.blob)
     return st
 
@@ -305,8 +357,33 @@ def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> byte
     return stage_c(stage_b(stage_a(buf, idx, cfg), cfg), cfg)
 
 
+class _DStage:
+    """Decode stage A result: everything parsed/dispatched, the fused
+    (seq, qual) device blob pending fetch."""
+
+    __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob")
+
+
+def decode_stage_a(data: bytes, cfg: CodecConfig) -> _DStage:
+    st = _DStage()
+    (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob) = _decode_dispatch(data, cfg)
+    _host_async(st.blob)
+    return st
+
+
+def decode_stage_b(st: _DStage) -> bytes:
+    both = np.asarray(st.blob)
+    return _reassemble(st.R, st.lens_np, st.titles_np, st.tlens_np,
+                       both[0, : st.R], both[1, : st.R])
+
+
 def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
-    """Inverse of encode_subblock → FASTQ text bytes."""
+    """Inverse of encode_subblock → FASTQ text bytes. (The decompress driver
+    runs decode_stage_a/b software-pipelined across sub-blocks.)"""
+    return decode_stage_b(decode_stage_a(data, cfg))
+
+
+def _decode_dispatch(data: bytes, cfg: CodecConfig):
     sections = []
     off = 0
     for _ in range(4):
@@ -386,10 +463,10 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
     seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens_j)
     if is_delta or is_delta_hdr:
         seq_j = dna.delta_untranslate(seq_j, lens_j)
-    both = np.asarray(_fuse_seq_qual(seq_j, qual_j))  # one fetch
-    seq_np = both[0, :R]
-    qual_np = both[1, :R]
+    return R, lens_np, titles_np, tlens_np, _fuse_seq_qual(seq_j, qual_j)
 
+
+def _reassemble(R, lens_np, titles_np, tlens_np, seq_np, qual_np) -> bytes:
     # reassemble FASTQ text (vectorized scatter)
     rec_bytes = tlens_np.astype(np.int64) + 1 + lens_np.astype(np.int64) + 1 + 2 + lens_np.astype(np.int64) + 1
     offs = np.concatenate([[0], np.cumsum(rec_bytes)])
