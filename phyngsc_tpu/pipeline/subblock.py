@@ -78,6 +78,19 @@ def _word_cap(R: int, L: int, G: int) -> int:
     return (R * L) // 2 + (R // G) + 8
 
 
+def _exact_cap(counts: np.ndarray, lens_tab: np.ndarray, S: int,
+               worst: int) -> int:
+    """Huffman output size is deterministic from the histogram × code
+    lengths: exact bits + <= S-1 words of substream alignment. Bucketed to
+    16K words so shapes (and compiled executables) are shared; fetching the
+    cap-sized buffer then costs barely more than the real payload (the
+    remote tunnel is bandwidth-poor)."""
+    bits = int(np.sum(counts.astype(np.int64) * lens_tab.astype(np.int64)))
+    words = bits // 32 + S + 8
+    bucket = 1 << 14
+    return min((words + bucket - 1) // bucket * bucket, worst)
+
+
 class _StageA:
     """Host gather + device analyze dispatched (nothing fetched yet).
 
@@ -161,20 +174,22 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
         lens_pad = lens_np
 
     st.is_delta = dna.detect_delta(seq_np[:R], lens_np)
-    seq_j = jnp.array(seq_np)
     lens_j = st.lens_j = jnp.array(lens_pad)
-    if st.is_delta:
-        seq_j = dna.delta_translate(seq_j, lens_j)
-    st.seq_j = seq_j
-    qual_j = jnp.array(qual_np)
 
     if codec is not None:
+        seq_j = jnp.array(seq_np)
+        if st.is_delta:
+            seq_j = dna.delta_translate(seq_j, lens_j)
+        st.seq_j = seq_j
+        qual_j = jnp.array(qual_np)
         q_counts, d_counts, st.qual_t, st.keep = codec.analyze(
             seq_j, qual_j, lens_j)
         st.n_q_counts = int(q_counts.shape[0]) * int(q_counts.shape[1])
         st.counts_blob = _fuse_counts(q_counts, d_counts)
     else:
-        st.qual_t, st.keep, st.counts_blob = _analyze_all(seq_j, qual_j, lens_j)
+        stacked = jnp.array(np.stack([seq_np, qual_np]))  # one H2D transfer
+        st.seq_j, st.qual_t, st.keep, st.counts_blob = _analyze_all(
+            stacked, lens_j, is_delta=st.is_delta)
         st.n_q_counts = min(L, quality.MAX_TREES) * quality.ALPHABET
     _host_async(st.counts_blob)
     if executor is not None:
@@ -202,10 +217,14 @@ def _fuse_counts(q_counts, d_counts):
     )
 
 
-@jax.jit
-def _analyze_all(seq, qual, lens):
-    """Whole stage-A device graph as ONE executable — the remote tunnel pays
-    per-call dispatch latency, so call count matters as much as FLOPs."""
+@functools.partial(jax.jit, static_argnames=("is_delta",))
+def _analyze_all(stacked, lens, is_delta=False):
+    """Whole stage-A device graph as ONE executable over ONE H2D transfer
+    (stacked = [seq; qual], (2, R, L) uint8) — the remote tunnel pays
+    per-call and per-transfer latency, so both counts matter."""
+    seq, qual = stacked[0], stacked[1]
+    if is_delta:
+        seq = dna.delta_translate(seq, lens)
     qual_t, keep, _ = dna.transfer_ambiguity(seq, qual, lens)
     q_counts = quality.analyze(qual_t, lens)
     d_counts = dna.analyze(seq, keep)
@@ -213,18 +232,18 @@ def _analyze_all(seq, qual, lens):
         [q_counts.reshape(-1).astype(jnp.int32),
          d_counts.reshape(-1).astype(jnp.int32)]
     )
-    return qual_t, keep, blob
+    return seq, qual_t, keep, blob
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "G", "cap"))
+@functools.partial(jax.jit, static_argnames=("mode", "G", "q_cap", "d_cap"))
 def _encode_all(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
-                mode, G, cap):
+                mode, G, q_cap, d_cap):
     """Whole stage-B device graph (both stream encoders + output fusion) as
     one executable; returns the fused fetch blob + layout sizes."""
     q_words, q_sub, q_total = quality.encode_device(
-        qual_t, lens, q_codes, q_lens, G, cap)
+        qual_t, lens, q_codes, q_lens, G, q_cap)
     d_words, d_sub, d_total = dna.encode_device(
-        seq, keep, d_codes, d_lens, mode, G, cap)
+        seq, keep, d_codes, d_lens, mode, G, d_cap)
     blob = jnp.concatenate([
         q_words.reshape(-1),
         d_words.reshape(-1),
@@ -278,14 +297,19 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
         st.blob = _fuse_blob(q_words, q_sub, jnp.asarray(q_total),
                              d_words, d_sub, jnp.asarray(d_total))
     else:
-        cap = _word_cap(a.Rp, a.L, G)
+        worst = _word_cap(a.Rp, a.L, G)
+        q_cap = _exact_cap(q_counts, st.q_tables.lens, S, worst)
+        if st.d_plan.mode == dna.MODE_PLAIN:
+            d_cap = _exact_cap(d_counts, np.full(256, 2, np.int64), S, worst)
+        else:
+            d_cap = _exact_cap(d_counts, st.d_plan.lens_tab, S, worst)
         st.blob = _encode_all(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
             jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
             jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
-            st.d_plan.mode, G, cap,
+            st.d_plan.mode, G, q_cap, d_cap,
         )
-        st.blob_layout = [cap, cap, S, S]
+        st.blob_layout = [q_cap, d_cap, S, S]
     t0 = _tick("b.encode_dispatch", t0)
     # title is host-heavy: runs on a worker thread started in stage A (or
     # inline here), while the device packs quality/dna
