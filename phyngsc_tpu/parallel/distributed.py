@@ -1,0 +1,134 @@
+"""Multi-host compression driver.
+
+The reference's scale-out is MPI ranks over a shared file: `File_read_at`
+sharded reads, `File_write_shared` unordered appends, timestamp footer
+ordering (C13/C14). Here each host (jax process) owns a working region
+(parallel/partition.py), compresses it with its local devices, then:
+
+1. every process all-gathers the per-process total block bytes
+   (`multihost_utils.process_allgather` — the Gather of phyNGSC.cpp:964),
+2. an exclusive prefix sum gives each process a deterministic byte offset,
+3. each process `pwrite`s its own blocks at its offset (no shared file
+   pointer, no timestamps, no ordering pass),
+4. process 0 gathers block counts/last sizes and writes the footer.
+
+Run one process per host:
+
+    python -m phyngsc_tpu.parallel.distributed \
+        --coordinator HOST:1234 --num-processes N --process-id I \
+        in.fastq out.ngsct
+
+Testable without a pod: N local processes with JAX_PLATFORMS=cpu form a
+multi-process CPU "slice" (tests/test_distributed.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.container import block as blockmod
+from phyngsc_tpu.container import footer as footermod
+from phyngsc_tpu.parallel.partition import partition_regions, split_subblocks
+from phyngsc_tpu.pipeline import subblock as sbmod
+from phyngsc_tpu.utils.fastq import index_records
+from phyngsc_tpu.utils.logging import info
+
+
+def compress_file_distributed(in_path: str, out_path: str,
+                              cfg: Optional[CodecConfig] = None) -> None:
+    """Collective: every initialized jax process calls this with the same
+    arguments. Requires jax.distributed.initialize() beforehand."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    cfg = cfg or CodecConfig()
+    pid = jax.process_index()
+    n_proc = jax.process_count()
+
+    with open(in_path, "rb") as f:
+        data = f.read()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    regions = partition_regions(buf, n_proc, cfg)
+    reg = regions[pid]
+
+    payloads: List[bytes] = []
+    if reg.end > reg.start:
+        idx = index_records(buf[reg.start : reg.end])
+        for name in ("title_start", "title_end", "seq_start", "seq_end",
+                     "qual_start", "qual_end"):
+            setattr(idx, name, getattr(idx, name) + reg.start)
+        rec_sizes = (idx.qual_end + 1 - idx.title_start).astype(np.int64)
+        for sl in split_subblocks(rec_sizes, cfg):
+            payloads.append(sbmod.encode_subblock(buf, idx.slice(sl.start, sl.stop), cfg))
+    blocks = blockmod.pack_blocks(pid, payloads, cfg.block_size)
+    my_bytes = sum(len(b.payload) for b in blocks)
+
+    # --- the offset protocol (replaces C13's timestamps) -------------------
+    sizes = multihost_utils.process_allgather(
+        np.array([my_bytes, len(blocks),
+                  len(blocks[-1].payload) if blocks else 0,
+                  reg.overlap_used], dtype=np.int64)
+    ).reshape(n_proc, 4)
+    my_offset = int(np.sum(sizes[:pid, 0]))
+    total_blocks_bytes = int(np.sum(sizes[:, 0]))
+
+    if pid == 0:
+        # create + size the file, then let everyone pwrite
+        cbo = [w for w in range(n_proc) for _ in range(int(sizes[w, 1]))]
+        foot = footermod.Footer(
+            fastq_size=len(data), block_size=cfg.block_size,
+            n_writers=n_proc,
+            overlaps=[int(x) for x in sizes[:, 3]],
+            writer_block_counts=[int(x) for x in sizes[:, 1]],
+            last_block_sizes=[int(x) for x in sizes[:, 2]],
+            cbo=cbo,
+            records_per_substream=cfg.records_per_substream,
+            max_code_len=cfg.max_code_len,
+        )
+        footer_bytes = footermod.write_footer(foot)
+        with open(out_path, "wb") as f:
+            f.truncate(total_blocks_bytes)
+            f.seek(total_blocks_bytes)
+            f.write(footer_bytes)
+    multihost_utils.sync_global_devices("phyngsc_file_created")
+
+    fd = os.open(out_path, os.O_WRONLY)
+    try:
+        pos = my_offset
+        for b in blocks:
+            os.pwrite(fd, b.payload, pos)
+            pos += len(b.payload)
+    finally:
+        os.close(fd)
+    multihost_utils.sync_global_devices("phyngsc_blocks_written")
+    info("process %d/%d wrote %d blocks (%d bytes) at offset %d",
+         pid, n_proc, len(blocks), my_bytes, my_offset)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("input")
+    ap.add_argument("output")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    compress_file_distributed(args.input, args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

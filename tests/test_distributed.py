@@ -1,0 +1,65 @@
+"""Multi-process compression over a 2-process CPU "pod slice"
+(SURVEY §4 layering (d): jax.distributed with the CPU backend standing in
+for multi-host)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from phyngsc_tpu.pipeline.decompress import decompress_bytes
+from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.parallel.distributed import compress_file_distributed
+cfg = CodecConfig(subblock_input_bytes=64 << 10, records_per_substream=16)
+compress_file_distributed(sys.argv[3], sys.argv[4], cfg)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_compress(tmp_path):
+    data = synthesize_fastq(1500, read_len=36, seed=31)
+    in_path = tmp_path / "in.fastq"
+    out_path = tmp_path / "out.ngsct"
+    in_path.write_bytes(data)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU plugin in workers
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, coord, str(i), str(in_path), str(out_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=210)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed did not come up in this environment")
+    for rc, out, err in outs:
+        if rc != 0 and b"distributed" in err.lower() and b"initialize" in err.lower():
+            pytest.skip(f"jax.distributed unavailable: {err[-200:]!r}")
+        assert rc == 0, err.decode()[-2000:]
+    blob = out_path.read_bytes()
+    assert decompress_bytes(blob) == data
