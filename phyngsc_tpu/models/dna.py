@@ -40,7 +40,8 @@ import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.ops import bitpack, histogram, huffman, lookup
-from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
+from phyngsc_tpu.utils.bitio import (BitReader, BitWriter, bit_length,
+                                     get_uint_array, put_uint_array)
 
 ALPHABET = 256
 
@@ -319,8 +320,7 @@ def write_header(bw: BitWriter, plan_: DnaPlan, sub_n_words: np.ndarray,
     bw.put_bits(sub_n_words.shape[0], 24)
     w = bit_length(int(sub_n_words.max())) if sub_n_words.size else 1
     bw.put_bits(w, 6)
-    for v in sub_n_words:
-        bw.put_bits(int(v), w)
+    put_uint_array(bw, sub_n_words, w)
     if plan_.mode == MODE_HUFFMAN:
         huffman.store_table(bw, plan_.lens_tab, plan_.singleton)
 
@@ -331,7 +331,7 @@ def read_header(br: BitReader):
     total_words = br.get_uint(4)
     n_sub = br.get_bits(24)
     w = br.get_bits(6)
-    sub_n_words = np.array([br.get_bits(w) for _ in range(n_sub)], dtype=np.int32)
+    sub_n_words = get_uint_array(br, n_sub, w).astype(np.int32)
     if mode == MODE_HUFFMAN:
         lens_tab, singleton = huffman.load_table(br, ALPHABET)
         codes_tab = np.asarray(huffman.canonical_codes(lens_tab))

@@ -25,7 +25,8 @@ import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.ops import bitpack, histogram, huffman, lookup
-from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
+from phyngsc_tpu.utils.bitio import (BitReader, BitWriter, bit_length,
+                                     get_uint_array, put_uint_array)
 
 ALPHABET = 256
 MAX_TREES = 256
@@ -173,8 +174,7 @@ def write_header(bw: BitWriter, tables: QualityTables, sub_n_words: np.ndarray,
     bw.put_bits(sub_n_words.shape[0], 24)
     w = bit_length(int(sub_n_words.max())) if sub_n_words.size else 1
     bw.put_bits(w, 6)
-    for v in sub_n_words:
-        bw.put_bits(int(v), w)
+    put_uint_array(bw, sub_n_words, w)
     for t in range(tables.n_trees):
         huffman.store_table(bw, tables.lens[t], int(tables.singletons[t]))
 
@@ -184,7 +184,7 @@ def read_header(br: BitReader):
     total_words = br.get_uint(4)
     n_sub = br.get_bits(24)
     w = br.get_bits(6)
-    sub_n_words = np.array([br.get_bits(w) for _ in range(n_sub)], dtype=np.int32)
+    sub_n_words = get_uint_array(br, n_sub, w).astype(np.int32)
     if n_trees:
         pairs = [huffman.load_table(br, ALPHABET) for _ in range(n_trees)]
         lens = np.stack([p[0] for p in pairs])

@@ -36,7 +36,8 @@ import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.ops import bitpack, huffman
-from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
+from phyngsc_tpu.utils.bitio import (BitReader, BitWriter, bit_length,
+                                     get_uint_array, put_uint_array)
 from phyngsc_tpu.utils.shapes import bucket_records
 
 SEPARATORS = b" ._,=:/-#"
@@ -692,8 +693,7 @@ def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
     bw.put_bits(sub.shape[0], 24)
     w = bit_length(int(sub.max())) if sub.size else 1
     bw.put_bits(w, 6)
-    for v in sub:
-        bw.put_bits(int(v), w)
+    put_uint_array(bw, sub, w)
 
 
 def read_header(br: BitReader):
@@ -726,6 +726,6 @@ def read_header(br: BitReader):
     n_char = br.get_uint(4)
     n_sub = br.get_bits(24)
     w = br.get_bits(6)
-    sub = np.array([br.get_bits(w) for _ in range(n_sub)], np.int32)
+    sub = get_uint_array(br, n_sub, w).astype(np.int32)
     tok = Tokenized(F, seps, np.zeros((0, F), np.int32), np.zeros((0, F), np.int32))
     return TitlePlan(tok, fields), n_fixed, n_char, sub

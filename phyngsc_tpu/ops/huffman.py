@@ -244,8 +244,13 @@ def store_table(bw: BitWriter, lens: np.ndarray, singleton: int = -1) -> None:
     mask[present] = 1
     bw.put_bits(int.from_bytes(np.packbits(mask).tobytes(), "big"),
                 8 * ((lens.shape[0] + 7) // 8))
-    for s in present:
-        bw.put_bits(int(lens[s]) - 1, 4)
+    nib = (lens[present] - 1).astype(np.uint8)
+    n = nib.shape[0]
+    if n % 2:
+        nib = np.concatenate([nib, np.zeros(1, np.uint8)])
+    packed = (nib[0::2] << 4) | nib[1::2]
+    bw.put_bits(int.from_bytes(packed.tobytes(), "big") >> (4 * (nib.shape[0] - n)),
+                4 * n)
 
 
 def load_table(br: BitReader, alphabet_size: int):
@@ -260,6 +265,14 @@ def load_table(br: BitReader, alphabet_size: int):
     mask = np.unpackbits(
         np.frombuffer(br.get_bits(8 * nbytes).to_bytes(nbytes, "big"), np.uint8)
     )[:alphabet_size].astype(bool)
-    for s in np.flatnonzero(mask):
-        lens[s] = br.get_bits(4) + 1
+    idx = np.flatnonzero(mask)
+    n = idx.shape[0]
+    raw = br.get_bits(4 * n)
+    pad = n % 2
+    nbuf = np.frombuffer(
+        (raw << (4 * pad)).to_bytes((n + pad) // 2, "big"), np.uint8)
+    nib = np.empty(n + pad, np.uint8)
+    nib[0::2] = nbuf >> 4
+    nib[1::2] = nbuf & 0xF
+    lens[idx] = nib[:n] + 1
     return lens, -1

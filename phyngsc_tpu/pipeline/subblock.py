@@ -452,17 +452,17 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     lens_pad = np.concatenate([lens_np, np.zeros(Rp - R, np.int32)])
     lens_j = jnp.array(lens_pad)
 
-    # Decode-side word buffers are padded to the same static caps the encoder
-    # used so every sub-block reuses one compiled executable (dynamic word
-    # counts would recompile per sub-block).
-    cap = _word_cap(Rp, L, G)
-
-    def _padded(words: np.ndarray, n: int) -> np.ndarray:
+    # Decode-side word buffers are padded to bucketed sizes (16K-word
+    # granularity) so sub-blocks share compiled executables without paying
+    # worst-case H2D transfer for mostly-empty buffers.
+    def _padded(words: np.ndarray) -> np.ndarray:
+        bucket = 1 << 14
+        n = max((words.shape[0] + 8 + bucket - 1) // bucket * bucket, bucket)
         out = np.zeros(n, np.uint32)
         out[: words.shape[0]] = words
         return out
 
-    q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)), cap)
+    q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)))
     qual_t = quality.decode_device(
         jnp.array(q_words), jnp.array(q_sub), lens_j,
         jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
@@ -474,7 +474,7 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     br = BitReader(dna_sec)
     d_plan, d_sub, d_total, is_delta_hdr = dna.read_header(br)
     br.align()
-    d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), cap)
+    d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)))
     keep = _keep_from_quality(qual_t, lens_j)
     if d_plan.mode == dna.MODE_PLAIN:
         dna_syms = dna.decode_plain(jnp.array(d_words), jnp.array(d_sub),
