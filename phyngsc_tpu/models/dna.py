@@ -227,10 +227,11 @@ for _i, _c in enumerate(b"ACGT"):
     SYM2BIT[_c] = _i
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "records_per_substream", "n_words_cap"))
+@functools.partial(jax.jit, static_argnames=("mode", "records_per_substream", "n_words_cap", "group"))
 def encode_device(seq: jnp.ndarray, keep: jnp.ndarray,
                   codes_tab: jnp.ndarray, lens_tab: jnp.ndarray,
-                  mode: int, records_per_substream: int, n_words_cap: int):
+                  mode: int, records_per_substream: int, n_words_cap: int,
+                  group: int = 2):
     """Pack kept DNA symbols. Returns (words, sub_n_words, total_words).
 
     Plain mode packs 16 bases per scatter element (group_fixed2); Huffman
@@ -249,7 +250,7 @@ def encode_device(seq: jnp.ndarray, keep: jnp.ndarray,
         codes, lens = lookup.split_fused(fused)
         lens = jnp.where(keep, lens, 0)
         codes = jnp.where(keep, codes, 0)
-        pc, pl = lookup.pair_codes(codes, lens)
+        pc, pl = lookup.group_codes(codes, lens, group)
     lay = bitpack.substream_layout(pl, records_per_substream)
     words = bitpack.pack_bits_scatter(pc, pl, lay["bit_offsets"], n_words_cap)
     return words, lay["sub_n_words"], lay["total_words"]

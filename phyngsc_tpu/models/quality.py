@@ -87,10 +87,11 @@ def build_tables(counts: np.ndarray, cfg: CodecConfig) -> QualityTables:
 
 # -- encode -----------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("records_per_substream", "n_words_cap"))
+@functools.partial(jax.jit, static_argnames=("records_per_substream", "n_words_cap", "group"))
 def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
                   codes_tab: jnp.ndarray, lens_tab: jnp.ndarray,
-                  records_per_substream: int, n_words_cap: int):
+                  records_per_substream: int, n_words_cap: int,
+                  group: int = 2):
     """Pack the quality stream. Returns (words, sub_n_words, total_words).
 
     TPU path: per-position (code,len) lookup runs as a one-hot MXU matmul
@@ -110,7 +111,7 @@ def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
     sym_codes, sym_lens = lookup.split_fused(fused)
     sym_lens = jnp.where(v, sym_lens, 0)
     sym_codes = jnp.where(v, sym_codes, 0)
-    pc, pl = lookup.pair_codes(sym_codes, sym_lens)
+    pc, pl = lookup.group_codes(sym_codes, sym_lens, group)
     lay = bitpack.substream_layout(pl, records_per_substream)
     words = bitpack.pack_bits_scatter(pc, pl, lay["bit_offsets"], n_words_cap)
     return words, lay["sub_n_words"], lay["total_words"]

@@ -77,16 +77,29 @@ def split_fused(fused: jnp.ndarray):
 @jax.jit
 def pair_codes(codes: jnp.ndarray, lens: jnp.ndarray):
     """(R, L) → (R, ceil(L/2)) combined codes/lens."""
+    return group_codes(codes, lens, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def group_codes(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
+    """Combine k adjacent codes per element: (R, L) → (R, ceil(L/k)).
+
+    Requires k * max_code_len <= 32 (the caller picks k = 32 //
+    max_code_len). Bit layout is unchanged — earlier symbols occupy higher
+    bits — so decode is unaffected; the scatter count drops k×."""
     R, L = codes.shape
-    if L % 2:
-        codes = jnp.pad(codes, ((0, 0), (0, 1)))
-        lens = jnp.pad(lens, ((0, 0), (0, 1)))
-    c1 = codes[:, 0::2].astype(jnp.uint32)
-    c2 = codes[:, 1::2].astype(jnp.uint32)
-    l1 = lens[:, 0::2].astype(jnp.int32)
-    l2 = lens[:, 1::2].astype(jnp.int32)
-    combined = (c1 << jnp.clip(l2, 0, 31).astype(jnp.uint32)) | c2
-    return combined, l1 + l2
+    pad = (-L) % k
+    if pad:
+        codes = jnp.pad(codes, ((0, 0), (0, pad)))
+        lens = jnp.pad(lens, ((0, 0), (0, pad)))
+    c = codes[:, 0::k].astype(jnp.uint32)
+    l = lens[:, 0::k].astype(jnp.int32)
+    for i in range(1, k):
+        ci = codes[:, i::k].astype(jnp.uint32)
+        li = lens[:, i::k].astype(jnp.int32)
+        c = (c << jnp.clip(li, 0, 31).astype(jnp.uint32)) | ci
+        l = l + li
+    return c, l
 
 
 @functools.partial(jax.jit, static_argnames=("group",))

@@ -235,15 +235,15 @@ def _analyze_all(stacked, lens, is_delta=False):
     return seq, qual_t, keep, blob
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "G", "q_cap", "d_cap"))
+@functools.partial(jax.jit, static_argnames=("mode", "G", "q_cap", "d_cap", "group"))
 def _encode_all(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
-                mode, G, q_cap, d_cap):
+                mode, G, q_cap, d_cap, group=2):
     """Whole stage-B device graph (both stream encoders + output fusion) as
     one executable; returns the fused fetch blob + layout sizes."""
     q_words, q_sub, q_total = quality.encode_device(
-        qual_t, lens, q_codes, q_lens, G, q_cap)
+        qual_t, lens, q_codes, q_lens, G, q_cap, group)
     d_words, d_sub, d_total = dna.encode_device(
-        seq, keep, d_codes, d_lens, mode, G, d_cap)
+        seq, keep, d_codes, d_lens, mode, G, d_cap, group)
     blob = jnp.concatenate([
         q_words.reshape(-1),
         d_words.reshape(-1),
@@ -307,7 +307,7 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
             a.qual_t, a.keep, a.seq_j, a.lens_j,
             jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
             jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
-            st.d_plan.mode, G, q_cap, d_cap,
+            st.d_plan.mode, G, q_cap, d_cap, 32 // cfg.max_code_len,
         )
         st.blob_layout = [q_cap, d_cap, S, S]
     t0 = _tick("b.encode_dispatch", t0)
