@@ -32,10 +32,10 @@ class CodecConfig:
     #: Maximum Huffman code length. Length-limited codes make device encode a
     #: pure table lookup and decode a single 2^max_code_len LUT (the
     #: reference's unbounded-depth trees + bit-walk, huffman.cpp:18-85, do
-    #: not map to TPU). 10 bits lets three codes share one <=30-bit scatter
-    #: element (3x fewer scatters) and keeps LUTs at 1024 entries; the
-    #: entropy loss vs unlimited codes on <=256-symbol alphabets is <0.1%.
-    max_code_len: int = 10
+    #: not map to TPU). Codes group k = 32 // max_code_len per scatter
+    #: element (ops/lookup.group_codes); 12 bits measured the same device
+    #: throughput as 10 with ~1.6% better ratio on ERR-style data.
+    max_code_len: int = 12
     #: Records per decode substream. Each substream decodes independently
     #: (vectorized across VPU lanes); its packed words start word-aligned and
     #: its word offset is stored in the stream header.
