@@ -85,8 +85,10 @@ def group_codes(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
     """Combine k adjacent codes per element: (R, L) → (R, ceil(L/k)).
 
     Requires k * max_code_len <= 32 (the caller picks k = 32 //
-    max_code_len). Bit layout is unchanged — earlier symbols occupy higher
-    bits — so decode is unaffected; the scatter count drops k×."""
+    max_code_len) and that zero-length symbols carry code value 0 (the
+    encoders mask invalid positions before grouping). Bit layout is
+    unchanged — earlier symbols occupy higher bits — so decode is
+    unaffected; the scatter count drops k×."""
     R, L = codes.shape
     pad = (-L) % k
     if pad:

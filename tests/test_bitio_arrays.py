@@ -68,6 +68,7 @@ def test_group_codes_matches_pairs():
     lens = rng.integers(0, 11, size=(8, 12)).astype(np.int32)
     codes = np.array([[rng.integers(0, 1 << max(l, 1)) for l in row] for row in lens],
                      dtype=np.uint32)
+    codes[lens == 0] = 0  # grouping precondition: zero-length ⇒ zero code
     c2, l2 = pair_codes(jnp.array(codes), jnp.array(lens))
     c2b, l2b = group_codes(jnp.array(codes), jnp.array(lens), 2)
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(c2b))
