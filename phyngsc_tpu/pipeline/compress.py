@@ -38,8 +38,17 @@ class CompressStats:
 
 def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
                    n_writers: int = 1, stats_out: Optional[list] = None) -> bytes:
+    return compress_array(np.frombuffer(data, dtype=np.uint8), cfg, n_writers,
+                          stats_out)
+
+
+def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
+                   n_writers: int = 1, stats_out: Optional[list] = None) -> bytes:
+    """Accepts any uint8 array — including an np.memmap, so multi-GB inputs
+    stream from the page cache instead of loading resident (the reference
+    reads 8 MiB windows, phyNGSC.cpp:249; the memmap gives the same
+    incremental behavior with kernel readahead)."""
     cfg = cfg or CodecConfig()
-    buf = np.frombuffer(data, dtype=np.uint8)
     regions = partition_regions(buf, n_writers, cfg)
 
     codec = None
@@ -124,7 +133,7 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
             in_bytes = reg.end - reg.start
             stats_out.append(CompressStats(
                 writer_id=reg.writer_id,
-                seconds=total_s * in_bytes / max(len(data), 1),
+                seconds=total_s * in_bytes / max(buf.shape[0], 1),
                 n_blocks=len(blocks),
                 n_subblocks=len(sub_payloads[w]),
                 input_bytes=in_bytes,
@@ -141,7 +150,7 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
             cbo.append(b.writer_id)
             out += b.payload
     foot = footermod.Footer(
-        fastq_size=len(data),
+        fastq_size=int(buf.shape[0]),
         block_size=cfg.block_size,
         n_writers=n_writers,
         overlaps=[r.overlap_used for r in regions],
@@ -157,8 +166,7 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
 
 def compress_file(in_path: str, out_path: str, cfg: Optional[CodecConfig] = None,
                   n_writers: int = 1, stats_out: Optional[list] = None) -> None:
-    with open(in_path, "rb") as f:
-        data = f.read()
-    out = compress_bytes(data, cfg, n_writers, stats_out)
+    buf = np.memmap(in_path, dtype=np.uint8, mode="r")
+    out = compress_array(buf, cfg, n_writers, stats_out)
     with open(out_path, "wb") as f:
         f.write(out)

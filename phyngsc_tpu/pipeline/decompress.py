@@ -10,14 +10,21 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.container import block as blockmod
 from phyngsc_tpu.container import footer as footermod
 from phyngsc_tpu.pipeline import subblock as sbmod
 
 
-def decompress_bytes(data: bytes, cfg: Optional[CodecConfig] = None) -> bytes:
-    foot = footermod.read_footer(data)
+def decompress_bytes(data, cfg: Optional[CodecConfig] = None) -> bytes:
+    """`data` is bytes or any buffer (np.memmap works — blocks are sliced
+    lazily, so large containers stream from the page cache)."""
+    if isinstance(data, np.ndarray):
+        foot = footermod.read_footer(bytes(data[-footermod.footer_region_size(data.shape[0]):]))
+    else:
+        foot = footermod.read_footer(data)
     cfg = cfg or CodecConfig()
     if (foot.records_per_substream != cfg.records_per_substream
             or foot.max_code_len != cfg.max_code_len):
@@ -29,7 +36,7 @@ def decompress_bytes(data: bytes, cfg: Optional[CodecConfig] = None) -> bytes:
     blocks = []
     off = 0
     for size, wid in zip(sizes, foot.cbo):
-        blocks.append((wid, data[off : off + size]))
+        blocks.append((wid, bytes(data[off : off + size])))
         off += size
 
     # software-pipelined decode: stage A (parse + device dispatch) of later
@@ -57,8 +64,7 @@ def decompress_bytes(data: bytes, cfg: Optional[CodecConfig] = None) -> bytes:
 
 def decompress_file(in_path: str, out_path: str,
                     cfg: Optional[CodecConfig] = None) -> None:
-    with open(in_path, "rb") as f:
-        data = f.read()
+    data = np.memmap(in_path, dtype=np.uint8, mode="r")
     out = decompress_bytes(data, cfg)
     with open(out_path, "wb") as f:
         f.write(out)
