@@ -40,9 +40,11 @@ def main() -> int:
     mb = float(os.environ.get("BENCH_MB", "32"))
     n_writers = int(os.environ.get("BENCH_WRITERS", "1"))
     verify = os.environ.get("BENCH_VERIFY", "1") != "0"
+    style = os.environ.get("BENCH_STYLE", "ERR005195")  # or "SRR" (76 bp)
+    read_len = 76 if style == "SRR" else 36
+    rec_bytes = 208 if style == "SRR" else 121
 
-    # ERR005195-style 36 bp reads (~121 B/record)
-    n_records = int(mb * 1e6 / 121)
+    n_records = int(mb * 1e6 / rec_bytes)
     # uniform device batches: split by record count, not bytes
     cfg = CodecConfig(
         subblock_input_bytes=1 << 30,
@@ -50,7 +52,7 @@ def main() -> int:
         records_per_substream=64,
     )
     t0 = time.perf_counter()
-    data = synthesize_fastq(n_records, read_len=36, seed=7)
+    data = synthesize_fastq(n_records, read_len=read_len, style=style, seed=7)
     synth_s = time.perf_counter() - t0
 
     # warm-up: compile every kernel shape on a small prefix + full run once
