@@ -40,15 +40,9 @@ class CodecConfig:
     #: (vectorized across VPU lanes); its packed words start word-aligned and
     #: its word offset is stored in the stream header.
     records_per_substream: int = 64
-    #: Per-32-record block granularity used by the title field model
-    #: (reference DEFAULT_B_SIZE, tasks.cpp:26).
-    title_block_records: int = 32
     #: Cap on per-position statistics for title char fields (reference caps at
     #: 128 positions, tasks.cpp:25).
     max_stat_positions: int = 128
-    #: Numeric title fields with (max-min) <= this use a shared Huffman tree
-    #: over values/deltas (reference HUF_GLOBAL_SIZE=512, structures.h:25).
-    numeric_huffman_range: int = 512
 
     # --- parallelism --------------------------------------------------------
     #: Name of the record (data-parallel) mesh axis.

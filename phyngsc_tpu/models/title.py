@@ -245,10 +245,8 @@ def plan_char(content: np.ndarray, flens: np.ndarray, cfg: CodecConfig) -> CharP
     counts = np.zeros((n_trees, ALPHABET), np.int64)
     if R and P:
         m = mask[:, :P]
-        flat = np.minimum(np.arange(P)[None, :], n_trees - 1) * ALPHABET + content[:, :P].astype(np.int64)
-        counts[: P if W <= P else P, :] += np.bincount(
-            flat[m], minlength=P * ALPHABET
-        ).reshape(P, ALPHABET)[: counts.shape[0] if W <= P else P]
+        flat = np.arange(P)[None, :] * ALPHABET + content[:, :P].astype(np.int64)
+        counts[:P] += np.bincount(flat[m], minlength=P * ALPHABET).reshape(P, ALPHABET)
     if W > P and R:
         m = mask[:, P:]
         counts[-1] = np.bincount(content[:, P:][m], minlength=ALPHABET)[:ALPHABET]

@@ -237,6 +237,11 @@ def store_table(bw: BitWriter, lens: np.ndarray, singleton: int = -1) -> None:
         bw.put_bits(singleton, 16)
         return
     present = np.flatnonzero(lens)
+    if present.shape[0] == 1:
+        # a one-symbol table without the singleton flag would deserialize as
+        # a zero-bit singleton and corrupt the stream — the builders always
+        # collapse such alphabets (build_code_lengths), so this is a misuse
+        raise ValueError("one-symbol table must be stored via singleton=sym")
     bw.put_bits(present.shape[0], 16)
     if present.shape[0] == 0:
         return

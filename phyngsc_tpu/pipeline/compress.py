@@ -76,6 +76,7 @@ def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
             tasks.append((w, idx.slice(sl.start, sl.stop)))
 
     sub_payloads: List[List[bytes]] = [[] for _ in regions]
+    writer_seconds = [0.0] * len(regions)
     a_q: List = []  # [(writer_pos, _StageA)]
     b_q: List = []  # [(writer_pos, _StageB)]
 
@@ -86,27 +87,28 @@ def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
     timing = {} if _os.environ.get("PHYNGSC_TIMING") else None
     sbmod.TIMING = timing
 
-    def _timed(label, fn):
-        if timing is None:
-            return fn()
+    def _timed(label, w, fn):
         t0 = _time.perf_counter()
         r = fn()
-        timing[label] = timing.get(label, 0.0) + _time.perf_counter() - t0
+        dt = _time.perf_counter() - t0
+        writer_seconds[w] += dt
+        if timing is not None:
+            timing[label] = timing.get(label, 0.0) + dt
         return r
 
     with cf.ThreadPoolExecutor(max_workers=2) as executor:
 
         def _advance_b():
             w, a = a_q.pop(0)
-            b_q.append((w, _timed("stage_b", lambda: sbmod.stage_b(a, cfg, codec))))
+            b_q.append((w, _timed("stage_b", w, lambda: sbmod.stage_b(a, cfg, codec))))
 
         def _advance_c():
             w, b = b_q.pop(0)
-            sub_payloads[w].append(_timed("stage_c", lambda: sbmod.stage_c(b, cfg)))
+            sub_payloads[w].append(_timed("stage_c", w, lambda: sbmod.stage_c(b, cfg)))
 
         depth = max(cfg.pipeline_depth, 1)
         for w, idx_slice in tasks:
-            a_q.append((w, _timed("stage_a", lambda: sbmod.stage_a(
+            a_q.append((w, _timed("stage_a", w, lambda: sbmod.stage_a(
                 buf, idx_slice, cfg, codec, executor))))
             if len(a_q) >= depth:
                 _advance_b()
@@ -133,7 +135,7 @@ def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
             in_bytes = reg.end - reg.start
             stats_out.append(CompressStats(
                 writer_id=reg.writer_id,
-                seconds=total_s * in_bytes / max(buf.shape[0], 1),
+                seconds=writer_seconds[w],
                 n_blocks=len(blocks),
                 n_subblocks=len(sub_payloads[w]),
                 input_bytes=in_bytes,

@@ -33,17 +33,18 @@ def decompress_bytes(data, cfg: Optional[CodecConfig] = None) -> bytes:
             max_code_len=foot.max_code_len,
         )
     sizes = foot.block_sizes_in_file_order()
-    blocks = []
+    blocks = []  # views; materialized one block at a time below
     off = 0
     for size, wid in zip(sizes, foot.cbo):
-        blocks.append((wid, bytes(data[off : off + size])))
+        blocks.append((wid, data[off : off + size]))
         off += size
 
     # software-pipelined decode: stage A (parse + device dispatch) of later
     # sub-blocks overlaps the fused device→host fetch of earlier ones
     per_writer: dict = {w: [] for w in range(foot.n_writers)}
     pending = []  # [(wid, _DStage)]
-    for wid, payload in blockmod.iter_subblocks(iter(blocks)):
+    lazy = ((w, bytes(p)) for w, p in blocks)  # copy per block, on demand
+    for wid, payload in blockmod.iter_subblocks(lazy):
         pending.append((wid, sbmod.decode_stage_a(payload, cfg)))
         if len(pending) >= max(cfg.pipeline_depth, 1):
             w, st = pending.pop(0)

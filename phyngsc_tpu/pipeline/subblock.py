@@ -159,8 +159,19 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     n_shards = codec.n_data if codec is not None else 1
     Rp = st.Rp = bucket_records(R, G, n_shards)
 
+    if Lt > 0xFFFF:
+        from phyngsc_tpu.utils.fastq import FastqFormatError
+
+        raise FastqFormatError(
+            f"read length {Lt} exceeds the container's 65535 limit")
     seq_np = _gather_matrix(buf, idx.seq_start, lens_np.astype(np.int64), L)
     qual_np = _gather_matrix(buf, idx.qual_start, lens_np.astype(np.int64), L)
+    if R and int(qual_np.max()) >= 128:
+        from phyngsc_tpu.utils.fastq import FastqFormatError
+
+        raise FastqFormatError(
+            "quality byte >= 128 in input: outside printable phred+33 and "
+            "reserved for the ambiguity transfer (phyNGSC.cpp:579 encoding)")
     tlens_np = st.tlens_np = (idx.title_end - idx.title_start).astype(np.int32)
     TL = int(tlens_np.max()) if R else 1
     st.titles_np = _gather_matrix(buf, idx.title_start, tlens_np.astype(np.int64), TL)

@@ -82,7 +82,9 @@ def index_records(buf: np.ndarray, validate: bool = True):
     if lib is None:
         return None
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
-    cap = buf.shape[0] // 8 + 2  # a record is >= 8 bytes ("@\nA\n+\nI\n")
+    # minimum valid record is 6 bytes ("@\n\n+\n\n" — empty read); a smaller
+    # divisor here silently truncated the index on tiny-record files
+    cap = buf.shape[0] // 6 + 2
     outs = [np.empty(cap, np.int64) for _ in range(6)]
     n = lib.phyngsc_index_records(
         buf.ctypes.data, buf.shape[0], *(_i64p(o) for o in outs),
@@ -90,6 +92,9 @@ def index_records(buf: np.ndarray, validate: bool = True):
     )
     if n < 0:
         return None  # validation failure → numpy path raises the right error
+    if n >= cap:
+        return None  # capacity exhausted (cannot happen with 6-byte floor,
+        # but never silently truncate)
     return tuple(o[:n].copy() for o in outs)
 
 

@@ -10,22 +10,30 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native lib not built")
 
 
-def test_index_matches_numpy():
+def test_index_matches_numpy(monkeypatch):
     data = synthesize_fastq(500, read_len=36, seed=0)
     buf = np.frombuffer(data, np.uint8)
     spans = native.index_records(buf)
     assert spans is not None
-    import os
-
-    os.environ["PHYNGSC_NO_NATIVE"] = "1"
-    try:
-        # force the numpy path via a fresh loader state
-        idx = index_records(buf)
-    finally:
-        del os.environ["PHYNGSC_NO_NATIVE"]
+    # force the numpy path (the env var is only read at first lib load, so
+    # patch the loader-level function instead)
+    monkeypatch.setattr(native, "index_records", lambda *a, **k: None)
+    idx = index_records(buf)
     for got, want in zip(spans, (idx.title_start, idx.title_end, idx.seq_start,
                                  idx.seq_end, idx.qual_start, idx.qual_end)):
         np.testing.assert_array_equal(got, want)
+
+
+def test_index_tiny_records_not_truncated(monkeypatch):
+    # minimum-size records (empty reads) stress the capacity estimate
+    data = b"@\n\n+\n\n" * 100
+    buf = np.frombuffer(data, np.uint8)
+    spans = native.index_records(buf)
+    assert spans is not None and spans[0].shape[0] == 100
+    monkeypatch.setattr(native, "index_records", lambda *a, **k: None)
+    idx = index_records(buf)
+    assert idx.n_records == 100
+    np.testing.assert_array_equal(spans[0], idx.title_start)
 
 
 def test_index_rejects_invalid():

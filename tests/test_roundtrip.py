@@ -112,3 +112,18 @@ def test_mesh_sharded_matches_single_chip_format():
     # both must round-trip
     assert decompress_bytes(c1) == data
     assert decompress_bytes(c4) == data
+
+
+def test_quality_above_127_rejected():
+    """Quality bytes >= 128 collide with the ambiguity-transfer encoding and
+    must be rejected up front, not silently corrupted (review finding)."""
+    data = b"@r1\nACGT\n+\n\xc8FFF\n" + synthesize_fastq(20, read_len=4, seed=40)
+    with pytest.raises(Exception, match="quality byte >= 128"):
+        compress_bytes(data, CFG, 1)
+
+
+def test_empty_read_records_roundtrip():
+    """Minimum-size records (empty sequence lines) survive the round trip."""
+    data = b"@a\n\n+\n\n@b\nAC\n+\nII\n@c\n\n+\n\n" * 20
+    comp = compress_bytes(data, CFG, 1)
+    assert decompress_bytes(comp) == data
