@@ -142,11 +142,19 @@ def _steps_from_lens(lens: jnp.ndarray, L: int, records_per_substream: int):
     return pos, step_valid, step_of
 
 
-@functools.partial(jax.jit, static_argnames=("L", "records_per_substream", "lut_bits"))
+@functools.partial(jax.jit, static_argnames=("L", "records_per_substream",
+                                             "lut_bits", "uniform_len"))
 def decode_device(words: jnp.ndarray, sub_n_words: jnp.ndarray,
                   lens: jnp.ndarray, luts: jnp.ndarray,
-                  L: int, records_per_substream: int, lut_bits: int):
-    """Inverse of encode_device: packed words → (R, L) symbols (pads zero)."""
+                  L: int, records_per_substream: int, lut_bits: int,
+                  uniform_len: int = 0):
+    """Inverse of encode_device: packed words → (R, L) symbols (pads zero).
+
+    uniform_len > 0 (every real record has exactly that length — the common
+    fixed-length dataset case, known from the meta flags) replaces the
+    per-substream searchsorted step mapping with arithmetic; batch-padding
+    records (length 0) are a contiguous tail, so per-substream totals from
+    `lens` still mask them."""
     G = records_per_substream
     R = lens.shape[0]
     S = R // G
@@ -155,7 +163,17 @@ def decode_device(words: jnp.ndarray, sub_n_words: jnp.ndarray,
     sub_word_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(sub_n_words)[:-1].astype(jnp.int32)]
     )
-    pos, step_valid, step_of = _steps_from_lens(lens, L, G)
+    if uniform_len:
+        Lt = uniform_len
+        t = jnp.arange(T, dtype=jnp.int32)
+        pos = jnp.broadcast_to((t % Lt)[None, :], (S, T))
+        lens_sub = lens.reshape(S, G).astype(jnp.int32)
+        total = jnp.sum(lens_sub, axis=1, keepdims=True)
+        step_valid = t[None, :] < total
+        step_of = ((jnp.arange(R, dtype=jnp.int32) % G) * Lt)[:, None] \
+            + jnp.arange(L, dtype=jnp.int32)[None, :]
+    else:
+        pos, step_valid, step_of = _steps_from_lens(lens, L, G)
     tree_ids = tree_of_position(pos, n_trees)
     syms = bitpack.unpack_substreams(
         words, sub_word_start, luts, tree_ids, step_valid, T, lut_bits

@@ -477,6 +477,7 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     qual_t = quality.decode_device(
         jnp.array(q_words), jnp.array(q_sub), lens_j,
         jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
+        uniform_len=0 if variable else Lt,
     )
 
     # dna — the keep mask stays on device (quality >= 128 marks transferred
