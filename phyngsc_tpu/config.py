@@ -43,6 +43,10 @@ class CodecConfig:
     #: Cap on per-position statistics for title char fields (reference caps at
     #: 128 positions, tasks.cpp:25).
     max_stat_positions: int = 128
+    #: Store a crc32 of each sub-block's original record bytes in the meta
+    #: section and verify it on decode (the reference reserved CRC hooks but
+    #: compiled them out, defs.h:35-46).
+    checksum: bool = True
 
     # --- parallelism --------------------------------------------------------
     #: Name of the record (data-parallel) mesh axis.

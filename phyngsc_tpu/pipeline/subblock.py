@@ -35,6 +35,9 @@ from phyngsc_tpu.utils.shapes import bucket_length, bucket_records
 
 FLAG_VARIABLE_LENGTH = 1
 FLAG_DELTA = 2
+#: meta carries a crc32 of the original record bytes; decode verifies it
+#: (the reference reserved CRC hooks but compiled them out, defs.h:35-46)
+FLAG_CRC = 4
 
 
 def _gather_matrix(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
@@ -100,7 +103,7 @@ class _StageA:
 
     __slots__ = ("R", "Lt", "L", "Rp", "lens_np", "tlens_np", "titles_np",
                  "is_delta", "seq_j", "lens_j", "qual_t", "keep",
-                 "counts_blob", "n_q_counts", "t_future")
+                 "counts_blob", "n_q_counts", "t_future", "crc")
 
 
 class _StageB:
@@ -151,6 +154,7 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     and the native runtime release the GIL)."""
     st = _StageA()
     st.t_future = None
+    st.crc = None
     R = st.R = idx.n_records
     G = cfg.records_per_substream
     lens_np = st.lens_np = idx.seq_len.astype(np.int32)
@@ -184,6 +188,11 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     else:
         lens_pad = lens_np
 
+    if cfg.checksum and R:
+        import zlib
+
+        span = buf[int(idx.title_start[0]) : int(idx.qual_end[-1]) + 1]
+        st.crc = zlib.crc32(np.ascontiguousarray(span))
     st.is_delta = dna.detect_delta(seq_np[:R], lens_np)
     lens_j = st.lens_j = jnp.array(lens_pad)
 
@@ -348,8 +357,10 @@ def stage_c(b: _StageB, cfg: CodecConfig) -> bytes:
     meta.put_bits(a.Lt, 16)
     variable = bool(a.R) and not bool(np.all(a.lens_np == a.lens_np[0]))
     flags = (FLAG_VARIABLE_LENGTH if variable else 0) | (
-        FLAG_DELTA if a.is_delta else 0)
+        FLAG_DELTA if a.is_delta else 0) | (FLAG_CRC if a.crc is not None else 0)
     meta.put_byte(flags)
+    if a.crc is not None:
+        meta.put_uint(a.crc, 4)
     if variable:
         w = max(1, int(a.lens_np.max()).bit_length())
         meta.put_byte(w)
@@ -396,20 +407,29 @@ class _DStage:
     """Decode stage A result: everything parsed/dispatched, the fused
     (seq, qual) device blob pending fetch."""
 
-    __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob")
+    __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob", "crc")
 
 
 def decode_stage_a(data: bytes, cfg: CodecConfig) -> _DStage:
     st = _DStage()
-    (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob) = _decode_dispatch(data, cfg)
+    (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob,
+     st.crc) = _decode_dispatch(data, cfg)
     _host_async(st.blob)
     return st
 
 
 def decode_stage_b(st: _DStage) -> bytes:
     both = np.asarray(st.blob)
-    return _reassemble(st.R, st.lens_np, st.titles_np, st.tlens_np,
-                       both[0, : st.R], both[1, : st.R])
+    out = _reassemble(st.R, st.lens_np, st.titles_np, st.tlens_np,
+                      both[0, : st.R], both[1, : st.R])
+    if st.crc is not None:
+        import zlib
+
+        if zlib.crc32(out) != st.crc:
+            raise ValueError(
+                "sub-block checksum mismatch: decoded bytes differ from the "
+                "original input (corrupt container or codec defect)")
+    return out
 
 
 def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
@@ -434,6 +454,7 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     flags = br.get_byte()
     variable = bool(flags & FLAG_VARIABLE_LENGTH)
     is_delta = bool(flags & FLAG_DELTA)
+    crc = br.get_uint(4) if flags & FLAG_CRC else None
     if variable:
         w = br.get_byte()
         br.align()
@@ -499,7 +520,7 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens_j)
     if is_delta or is_delta_hdr:
         seq_j = dna.delta_untranslate(seq_j, lens_j)
-    return R, lens_np, titles_np, tlens_np, _fuse_seq_qual(seq_j, qual_j)
+    return R, lens_np, titles_np, tlens_np, _fuse_seq_qual(seq_j, qual_j), crc
 
 
 def _reassemble(R, lens_np, titles_np, tlens_np, seq_np, qual_np) -> bytes:

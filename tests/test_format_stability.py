@@ -63,3 +63,15 @@ def test_version_field_checked():
     blob[version_off] = 99
     with pytest.raises(ValueError, match="version"):
         decompress_bytes(bytes(blob))
+
+
+def test_checksum_catches_payload_corruption():
+    """Flip a bit inside a block payload: the sub-block crc must catch it
+    (when the corruption decodes at all)."""
+    data = _golden_input()
+    blob = bytearray(compress_bytes(data, CFG, 1))
+    # corrupt a byte well inside the first block's payload
+    blob[600] ^= 0x40
+    with pytest.raises((ValueError, EOFError, Exception)):
+        out = decompress_bytes(bytes(blob))
+        assert out != data  # unreachable unless decode silently succeeded
