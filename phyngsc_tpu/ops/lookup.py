@@ -34,9 +34,16 @@ def fuse_tables(codes, lens):
 def fused_lookup(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
                  chunk: int = 4096) -> jnp.ndarray:
     """symbols (R, L) uint8/int32, fused_tab (L, A) int32 (one row per
-    position; caller clamps tree indices) → fused entries (R, L) int32."""
+    position; caller clamps tree indices) → fused entries (R, L) int32.
+
+    The one-hot matmul only pays off where gathers are slow (TPU); other
+    backends take the direct gather (trace-time branch — jit compiles per
+    backend)."""
     R, L = symbols.shape
     A = fused_tab.shape[1]
+    if jax.default_backend() != "tpu":
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        return fused_tab[pos, symbols.astype(jnp.int32)]
     lo = (fused_tab & 0xFF).astype(jnp.bfloat16)
     hi = ((fused_tab >> 8) & 0xFFFF).astype(jnp.bfloat16)  # < 2^9 for 16-bit fused
 

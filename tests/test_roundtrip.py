@@ -127,3 +127,18 @@ def test_empty_read_records_roundtrip():
     data = b"@a\n\n+\n\n@b\nAC\n+\nII\n@c\n\n+\n\n" * 20
     comp = compress_bytes(data, CFG, 1)
     assert decompress_bytes(comp) == data
+
+
+def test_empty_input():
+    comp = compress_bytes(b"", CFG, 2)
+    assert decompress_bytes(comp) == b""
+
+
+def test_deterministic_output():
+    """Same input → byte-identical container (no nondeterministic device or
+    ordering behavior — the reference's timestamp protocol was explicitly
+    non-deterministic; ours must not be)."""
+    data = synthesize_fastq(800, read_len=36, seed=55)
+    c1 = compress_bytes(data, CFG, 3)
+    c2 = compress_bytes(data, CFG, 3)
+    assert c1 == c2
