@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 from typing import List
 
-import numpy as np
 
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
 

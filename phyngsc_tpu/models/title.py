@@ -31,7 +31,6 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from phyngsc_tpu.config import CodecConfig

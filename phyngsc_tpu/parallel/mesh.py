@@ -19,7 +19,6 @@ data-parallel (packing needs each record's whole row). Both are pure
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
@@ -31,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.models import dna as dmod
 from phyngsc_tpu.models import quality as qmod
-from phyngsc_tpu.ops import bitpack, histogram
+from phyngsc_tpu.ops import histogram
 
 
 def make_mesh(n_data: int, n_seq: int = 1,

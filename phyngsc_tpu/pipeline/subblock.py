@@ -20,7 +20,6 @@ symbol count (tasks.cpp:986 mirror).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
