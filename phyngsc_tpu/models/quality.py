@@ -68,6 +68,25 @@ def analyze(qual: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     return counts
 
 
+def build_tables_adaptive(counts: np.ndarray, cfg: CodecConfig):
+    """Returns (tables, group): if capping codes at 8 bits costs < 0.4% extra
+    output, take it — four codes then share one scatter element instead of
+    two (the scatter is the encode chain's dominant cost on TPU)."""
+    counts = np.asarray(counts)
+    tables = build_tables(counts, cfg)
+    max_len = int(tables.lens.max()) if tables.lens.size else 1
+    k = max(32 // max(max_len, 1), 2)
+    if k >= 4 or cfg.max_code_len <= 8:
+        return tables, min(k, 8)
+    t8 = build_tables(counts, dataclasses.replace(cfg, max_code_len=8))
+    c64 = counts.astype(np.int64)
+    base = int((c64 * tables.lens).sum())
+    capped = int((c64 * t8.lens).sum())
+    if base and capped <= base * 1.004:
+        return t8, 4
+    return tables, k
+
+
 def build_tables(counts: np.ndarray, cfg: CodecConfig) -> QualityTables:
     counts = np.asarray(counts)
     from phyngsc_tpu.utils import native

@@ -254,15 +254,16 @@ def _analyze_all(stacked, lens, is_delta=False):
     return seq, qual_t, keep, blob
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "G", "q_cap", "d_cap", "group"))
+@functools.partial(jax.jit, static_argnames=("mode", "G", "q_cap", "d_cap",
+                                              "q_group", "d_group"))
 def _encode_all(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
-                mode, G, q_cap, d_cap, group=2):
+                mode, G, q_cap, d_cap, q_group=2, d_group=2):
     """Whole stage-B device graph (both stream encoders + output fusion) as
     one executable; returns the fused fetch blob + layout sizes."""
     q_words, q_sub, q_total = quality.encode_device(
-        qual_t, lens, q_codes, q_lens, G, q_cap, group)
+        qual_t, lens, q_codes, q_lens, G, q_cap, q_group)
     d_words, d_sub, d_total = dna.encode_device(
-        seq, keep, d_codes, d_lens, mode, G, d_cap, group)
+        seq, keep, d_codes, d_lens, mode, G, d_cap, d_group)
     blob = jnp.concatenate([
         q_words.reshape(-1),
         d_words.reshape(-1),
@@ -298,8 +299,10 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
     t0 = _tick("b.counts_fetch", t0)
     q_counts = counts[: a.n_q_counts].reshape(-1, quality.ALPHABET)
     d_counts = counts[a.n_q_counts :]
-    st.q_tables = quality.build_tables(q_counts, cfg)
+    st.q_tables, q_group = quality.build_tables_adaptive(q_counts, cfg)
     st.d_plan = dna.plan(d_counts, cfg)
+    d_group = max(2, min(32 // max(int(st.d_plan.lens_tab.max()) or 1, 1), 8)) \
+        if st.d_plan.mode == dna.MODE_HUFFMAN else 2
     t0 = _tick("b.tables", t0)
 
     S = a.Rp // G
@@ -326,7 +329,7 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
             a.qual_t, a.keep, a.seq_j, a.lens_j,
             jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
             jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
-            st.d_plan.mode, G, q_cap, d_cap, 32 // cfg.max_code_len,
+            st.d_plan.mode, G, q_cap, d_cap, q_group, d_group,
         )
         st.blob_layout = [q_cap, d_cap, S, S]
     t0 = _tick("b.encode_dispatch", t0)
