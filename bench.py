@@ -94,14 +94,18 @@ def main() -> int:
         S = R // G
         worst = sbmod._word_cap(R, L, G)
         q_cap = sbmod._exact_cap(qc, tables.lens, S, worst)
-        d_cap = worst
+        d_cap = sbmod._exact_cap(counts[L * 256 :], np.full(256, 2, np.int64),
+                                 S, worst)
+        qc_j = jnp.array(tables.codes)
+        ql_j = jnp.array(tables.lens)
+        dc_j = jnp.array(d_plan.codes_tab)
+        dl_j = jnp.array(d_plan.lens_tab)
 
         def step():
             _, qt, kp, blob_c = sbmod._analyze_all(stacked, lens)
             return sbmod._encode_all(
-                qt, kp, seq, lens, jnp.array(tables.codes),
-                jnp.array(tables.lens), jnp.array(d_plan.codes_tab),
-                jnp.array(d_plan.lens_tab), d_plan.mode, G, q_cap, d_cap)
+                qt, kp, seq, lens, qc_j, ql_j, dc_j, dl_j,
+                d_plan.mode, G, q_cap, d_cap)
 
         jax.block_until_ready(step())
         t0 = time.perf_counter()
