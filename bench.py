@@ -94,8 +94,9 @@ def main() -> int:
         S = R // G
         worst = sbmod._word_cap(R, L, G)
         q_cap = sbmod._exact_cap(qc, tables.lens, S, worst)
-        d_cap = sbmod._exact_cap(counts[L * 256 :], np.full(256, 2, np.int64),
-                                 S, worst)
+        d_lens_for_cap = (np.full(256, 2, np.int64)
+                          if d_plan.mode == dmod.MODE_PLAIN else d_plan.lens_tab)
+        d_cap = sbmod._exact_cap(counts[L * 256 :], d_lens_for_cap, S, worst)
         qc_j = jnp.array(tables.codes)
         ql_j = jnp.array(tables.lens)
         dc_j = jnp.array(d_plan.codes_tab)

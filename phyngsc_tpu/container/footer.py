@@ -21,7 +21,11 @@ from typing import List
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
 
 MAGIC = b"NGST"
-VERSION = 1
+#: v2 added the optional per-sub-block crc32 (FLAG_CRC in the meta section);
+#: v1 containers never set the flag, so one reader handles both, but older
+#: readers must refuse v2 files rather than misparse them.
+VERSION = 2
+MIN_VERSION = 1
 
 
 @dataclasses.dataclass
@@ -83,7 +87,7 @@ def read_footer(tail: bytes) -> Footer:
         raise ValueError("truncated footer")
     br = BitReader(body)
     version = br.get_byte()
-    if version != VERSION:
+    if not (MIN_VERSION <= version <= VERSION):
         raise ValueError(f"unsupported container version {version}")
     fastq_size = br.get_uint(8)
     block_size = br.get_uint(4)

@@ -75,9 +75,9 @@ def build_tables_adaptive(counts: np.ndarray, cfg: CodecConfig):
     counts = np.asarray(counts)
     tables = build_tables(counts, cfg)
     max_len = int(tables.lens.max()) if tables.lens.size else 1
-    k = max(32 // max(max_len, 1), 2)
+    k = lookup.group_for(max_len)
     if k >= 4 or cfg.max_code_len <= 8:
-        return tables, min(k, 8)
+        return tables, k
     t8 = build_tables(counts, dataclasses.replace(cfg, max_code_len=8))
     c64 = counts.astype(np.int64)
     base = int((c64 * tables.lens).sum())

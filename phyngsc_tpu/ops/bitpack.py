@@ -119,12 +119,13 @@ def pack_bits_scatter(codes: jnp.ndarray, lens: jnp.ndarray,
     w = (bit_offsets // WORD_BITS).astype(jnp.int32)
     b = (bit_offsets % WORD_BITS).astype(jnp.int32)
     hi, lo = _split_two_words(codes, lens, b)
-    # zero-length elements (padding) can sit exactly at the buffer end;
-    # their contribution is 0, so redirect them to word 0
-    w = jnp.where(lens.astype(jnp.int32) > 0, w, 0)
-    # +1 sentinel word: for len>0, offset+len <= 32*n_words by construction,
-    # so w < n_words and w+1 <= n_words — both scatters provably in bounds;
-    # skipping the per-element bounds check ('drop') helps on TPU
+    # zero-length elements (padding) can sit exactly at the buffer end
+    # (w == n_words when the cap is an exact fit); clamping — rather than
+    # redirecting to 0 — keeps the index sequence monotone, which
+    # indices_are_sorted promises. For len>0, offset+len <= 32*n_words by
+    # construction, so w < n_words and w+1 <= n_words — both scatters are
+    # provably in bounds and the per-element bounds check can be skipped.
+    w = jnp.minimum(w, n_words - 1)
     words = jnp.zeros((n_words + 1,), jnp.uint32)
     # disjoint bit spans → add == or; indices are monotonically non-decreasing
     words = words.at[w].add(hi, mode="promise_in_bounds", indices_are_sorted=True)

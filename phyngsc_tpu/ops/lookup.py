@@ -24,6 +24,12 @@ import jax.numpy as jnp
 CODE_BITS = 12
 
 
+def group_for(max_len: int) -> int:
+    """Grouping factor for group_codes: the largest k with
+    k * max_len <= 32, clamped to [2, 8]."""
+    return max(2, min(32 // max(max_len, 1), 8))
+
+
 def fuse_tables(codes, lens):
     """(T, A) uint32 codes + (T, A) uint8 lens → (T, A) int32 fused entries.
     Requires code < 2**CODE_BITS (i.e. max_code_len <= 12)."""

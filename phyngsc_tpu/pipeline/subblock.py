@@ -301,7 +301,9 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
     d_counts = counts[a.n_q_counts :]
     st.q_tables, q_group = quality.build_tables_adaptive(q_counts, cfg)
     st.d_plan = dna.plan(d_counts, cfg)
-    d_group = max(2, min(32 // max(int(st.d_plan.lens_tab.max()) or 1, 1), 8)) \
+    from phyngsc_tpu.ops import lookup as _lookup
+
+    d_group = _lookup.group_for(int(st.d_plan.lens_tab.max()) or 1) \
         if st.d_plan.mode == dna.MODE_HUFFMAN else 2
     t0 = _tick("b.tables", t0)
 
@@ -500,7 +502,9 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     qual_t = quality.decode_device(
         jnp.array(q_words), jnp.array(q_sub), lens_j,
         jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
-        uniform_len=0 if variable else Lt,
+        # only when Lt fills the bucket exactly — otherwise the static arg
+        # would key one executable per raw read length instead of per bucket
+        uniform_len=Lt if (not variable and Lt == L) else 0,
     )
 
     # dna — the keep mask stays on device (quality >= 128 marks transferred
