@@ -82,7 +82,11 @@ def main() -> int:
 
         R, L, G = 65536, 36, cfg.records_per_substream
         rng = np.random.default_rng(0)
-        stacked = jnp.array(rng.integers(33, 74, size=(2, R, L)).astype(np.uint8))
+        acgt = np.frombuffer(b"ACGT", np.uint8)
+        stacked = jnp.array(np.stack([
+            acgt[rng.integers(0, 4, size=(R, L))],               # realistic seq
+            rng.integers(33, 74, size=(R, L)).astype(np.uint8),  # qual
+        ]))
         lens = jnp.array(np.full(R, L, np.int32))
         seq, qual_t, keep, counts_blob = sbmod._analyze_all(stacked, lens)
         counts = np.asarray(counts_blob)
