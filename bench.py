@@ -91,16 +91,24 @@ def main() -> int:
         seq, qual_t, keep, counts_blob = sbmod._analyze_all(stacked, lens)
         counts = np.asarray(counts_blob)
         qc = counts[: L * 256].reshape(L, 256)
-        tables = qmod.build_tables(qc, cfg)
+        tables, q_group = qmod.build_tables_adaptive(qc, cfg)
         from phyngsc_tpu.models import dna as dmod
+        from phyngsc_tpu.ops import bitpack as bpmod
+        from phyngsc_tpu.ops import lookup as lkmod
 
         d_plan = dmod.plan(counts[L * 256 :], cfg)
+        d_group = (lkmod.group_for(int(d_plan.lens_tab.max()) or 1)
+                   if d_plan.mode == dmod.MODE_HUFFMAN else 2)
         S = R // G
-        worst = sbmod._word_cap(R, L, G)
-        q_cap = sbmod._exact_cap(qc, tables.lens, S, worst)
-        d_lens_for_cap = (np.full(256, 2, np.int64)
-                          if d_plan.mode == dmod.MODE_PLAIN else d_plan.lens_tab)
-        d_cap = sbmod._exact_cap(counts[L * 256 :], d_lens_for_cap, S, worst)
+        pack = bpmod.pack_mode()
+        if pack == "rows":
+            q_cap = d_cap = 0
+        else:
+            worst = sbmod._word_cap(R, L, G)
+            q_cap = sbmod._exact_cap(qc, tables.lens, S, worst)
+            d_lens_for_cap = (np.full(256, 2, np.int64)
+                              if d_plan.mode == dmod.MODE_PLAIN else d_plan.lens_tab)
+            d_cap = sbmod._exact_cap(counts[L * 256 :], d_lens_for_cap, S, worst)
         qc_j = jnp.array(tables.codes)
         ql_j = jnp.array(tables.lens)
         dc_j = jnp.array(d_plan.codes_tab)
@@ -110,7 +118,7 @@ def main() -> int:
             _, qt, kp, blob_c = sbmod._analyze_all(stacked, lens)
             return sbmod._encode_all(
                 qt, kp, seq, lens, qc_j, ql_j, dc_j, dl_j,
-                d_plan.mode, G, q_cap, d_cap)
+                d_plan.mode, G, q_cap, d_cap, q_group, d_group, pack)
 
         jax.block_until_ready(step())
         t0 = time.perf_counter()

@@ -227,16 +227,17 @@ for _i, _c in enumerate(b"ACGT"):
     SYM2BIT[_c] = _i
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "records_per_substream", "n_words_cap", "group"))
+@functools.partial(jax.jit, static_argnames=("mode", "records_per_substream", "n_words_cap", "group", "pack"))
 def encode_device(seq: jnp.ndarray, keep: jnp.ndarray,
                   codes_tab: jnp.ndarray, lens_tab: jnp.ndarray,
                   mode: int, records_per_substream: int, n_words_cap: int,
-                  group: int = 2):
+                  group: int = 2, pack: str = "scatter"):
     """Pack kept DNA symbols. Returns (words, sub_n_words, total_words).
 
-    Plain mode packs 16 bases per scatter element (group_fixed2); Huffman
-    mode uses the fused MXU lookup + symbol pairing. Bit layouts are
-    unchanged vs symbol-at-a-time packing."""
+    Plain mode packs 16 bases per element (group_fixed2); Huffman mode uses
+    the fused MXU lookup + symbol grouping. pack selects the bitpack kernel
+    ("scatter" | "rows" | "rows_compact", see quality.encode_device); bit
+    layouts are unchanged vs symbol-at-a-time packing in every mode."""
     s32 = seq.astype(jnp.int32)
     if mode == MODE_PLAIN:
         # A=0 C=1 G=2 T=3 via compares (a 256-table gather is ~50 ms on TPU)
@@ -251,6 +252,11 @@ def encode_device(seq: jnp.ndarray, keep: jnp.ndarray,
         lens = jnp.where(keep, lens, 0)
         codes = jnp.where(keep, codes, 0)
         pc, pl = lookup.group_codes(codes, lens, group)
+    if pack != "scatter":
+        plane, sub, total = bitpack.pack_bits_rows(pc, pl, records_per_substream)
+        if pack == "rows":
+            return plane, sub, total
+        return bitpack.compact_rows(plane, sub, n_words_cap), sub, total
     lay = bitpack.substream_layout(pl, records_per_substream)
     words = bitpack.pack_bits_scatter(pc, pl, lay["bit_offsets"], n_words_cap)
     return words, lay["sub_n_words"], lay["total_words"]

@@ -106,19 +106,22 @@ def build_tables(counts: np.ndarray, cfg: CodecConfig) -> QualityTables:
 
 # -- encode -----------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("records_per_substream", "n_words_cap", "group"))
+@functools.partial(jax.jit, static_argnames=("records_per_substream", "n_words_cap", "group", "pack"))
 def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
                   codes_tab: jnp.ndarray, lens_tab: jnp.ndarray,
                   records_per_substream: int, n_words_cap: int,
-                  group: int = 2):
+                  group: int = 2, pack: str = "scatter"):
     """Pack the quality stream. Returns (words, sub_n_words, total_words).
 
     TPU path: per-position (code,len) lookup runs as a one-hot MXU matmul
-    (9x over XLA gather, see ops/lookup.py) and adjacent symbols are paired
-    before packing (combined <= 24 bits), halving the scatter count. The bit
-    layout is identical to symbol-at-a-time packing, so decode is unchanged.
-    words is a fixed `n_words_cap` buffer (static shape for jit); the caller
-    slices to total_words.
+    (9x over XLA gather, see ops/lookup.py), adjacent symbols are grouped
+    before packing (combined <= 32 bits), and packing itself is the
+    scatter-free sort-compaction kernel (4-6x over scatter). pack selects
+    the kernel (bitpack.pack_mode()): "rows" returns a (S, T) row plane the
+    host trims with bitpack.trim_rows_np; "rows_compact" adds an on-device
+    compaction to the linear `n_words_cap` buffer; "scatter" packs the same
+    linear buffer via sorted scatter-add. Byte-identical streams in every
+    mode, so decode is unchanged.
     """
     R, L = qual.shape
     n_trees = lens_tab.shape[0]
@@ -131,6 +134,11 @@ def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
     sym_lens = jnp.where(v, sym_lens, 0)
     sym_codes = jnp.where(v, sym_codes, 0)
     pc, pl = lookup.group_codes(sym_codes, sym_lens, group)
+    if pack != "scatter":
+        plane, sub, total = bitpack.pack_bits_rows(pc, pl, records_per_substream)
+        if pack == "rows":
+            return plane, sub, total
+        return bitpack.compact_rows(plane, sub, n_words_cap), sub, total
     lay = bitpack.substream_layout(pl, records_per_substream)
     words = bitpack.pack_bits_scatter(pc, pl, lay["bit_offsets"], n_words_cap)
     return words, lay["sub_n_words"], lay["total_words"]

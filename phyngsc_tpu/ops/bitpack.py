@@ -133,6 +133,117 @@ def pack_bits_scatter(codes: jnp.ndarray, lens: jnp.ndarray,
     return words[:n_words]
 
 
+def pack_mode() -> str:
+    """Pick the bitpack kernel for the current backend.
+
+    - "rows": sort-compaction pack, 4-6x faster than scatter on TPU
+      (measured: 13.7 -> 3.3 ms at (65536,9) grouped, 24.4 -> 4.3 ms at
+      (65536,18) on v5e). Output is a padded (S, T) row plane the host
+      trims — the right default for PCIe-attached hosts where the extra
+      fetched bytes are ~free.
+    - "rows_compact": rows + one on-device global sort compacting the plane
+      into the exact-cap linear buffer — minimal device->host bytes, for
+      bandwidth-poor links (this dev harness's loopback relay).
+    - "scatter": two sorted scatter-adds; XLA:CPU's native scatter beats its
+      sort, so CPU defaults here.
+
+    PHYNGSC_PACK=rows|rows_compact|scatter overrides.
+    """
+    import os
+
+    mode = os.environ.get("PHYNGSC_PACK", "auto")
+    if mode in ("rows", "rows_compact", "scatter"):
+        return mode
+    return "rows_compact" if jax.default_backend() == "tpu" else "scatter"
+
+
+@functools.partial(jax.jit, static_argnames=("records_per_substream",))
+def pack_bits_rows(codes: jnp.ndarray, lens: jnp.ndarray,
+                   records_per_substream: int):
+    """Scatter-free bitpack into a per-substream row plane.
+
+    (R, Lg) grouped codes/lens (every element <= 32 bits) → (S, T) uint32
+    plane where row s holds substream s's packed words (columns past
+    sub_n_words[s] are garbage; the host trims and concatenates rows into
+    the dense stream — byte-identical to pack_bits_scatter's output for the
+    same substream_layout).
+
+    Within a substream, word indices (bit_offset >> 5) are non-decreasing
+    with increments in {0, 1}, so each output word is a *contiguous run* of
+    per-element word contributions, and a contiguous-run sum equals a
+    difference of wrapping uint32 cumsums at the run ends (disjoint bit
+    spans make add == or, and mod-2^32 differences are exact). Run-end
+    cumsum values are compacted to dense word rows by one sort per lane on
+    unique keys — no scatter, no gather, the two primitives XLA:TPU
+    serializes (DESIGN.md measured-performance).
+
+    Returns (plane (S, T) uint32, sub_n_words (S,) int32, total_words).
+    """
+    R, Lg = codes.shape
+    G = records_per_substream
+    assert R % G == 0, "pad R to a multiple of records_per_substream"
+    S = R // G
+    T = G * Lg
+    c = codes.reshape(S, T).astype(jnp.uint32)
+    l = lens.reshape(S, T).astype(jnp.int32)
+    csum = jnp.cumsum(l, axis=1)
+    off = csum - l                                   # exclusive, within-lane
+    wmat = off >> 5
+    hi, lo = _split_two_words(c, l, off & 31)
+    chi = jnp.cumsum(hi, axis=1)                     # wrapping uint32
+    clo = jnp.cumsum(lo, axis=1)
+    t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]
+    wnext = jnp.concatenate(
+        [wmat[:, 1:], jnp.full((S, 1), T + 1, jnp.int32)], axis=1)
+    # run-end steps, keyed by step index (unique per lane) so the sort is
+    # deterministic without stability; non-ends pushed past column T-1
+    key = jnp.where(wnext != wmat, t_iota, T + t_iota)
+    _, A, B = jax.lax.sort((key, chi, clo), dimension=1, num_keys=1)
+    A_p = jnp.pad(A, ((0, 0), (1, 0)))[:, :-1]
+    B_p = jnp.pad(B, ((0, 0), (1, 0)))[:, :-1]
+    B_p2 = jnp.pad(B, ((0, 0), (2, 0)))[:, :-2]
+    # word w = hi-run (A[w] - A[w-1]) + spill-run (B[w-1] - B[w-2]). Rows of
+    # A/B past the last *starter* word hold non-end garbage; the one word
+    # that can lack a starter is a final spill-only word, where the value is
+    # the spill part alone (its B rows are still valid).
+    last_w = wmat[:, -1][:, None]
+    words = jnp.where(t_iota <= last_w, (A - A_p) + (B_p - B_p2), B_p - B_p2)
+    sub_n_words = ((csum[:, -1] + 31) // 32).astype(jnp.int32)
+    total = jnp.sum(sub_n_words)
+    return words.astype(jnp.uint32), sub_n_words, total
+
+
+@functools.partial(jax.jit, static_argnames=("n_words_cap",))
+def compact_rows(plane: jnp.ndarray, sub_n_words: jnp.ndarray,
+                 n_words_cap: int) -> jnp.ndarray:
+    """Device compaction of a pack_bits_rows plane to the dense linear
+    stream: one global sort on unique word-index keys (invalid slots pushed
+    past the end). Words in [total_words, n_words_cap) are cap slack, as in
+    pack_bits_scatter; callers trim with the returned totals."""
+    S, T = plane.shape
+    sub = sub_n_words.astype(jnp.int32)
+    start = (jnp.cumsum(sub) - sub)[:, None]
+    col = jnp.arange(T, dtype=jnp.int32)[None, :]
+    key = jnp.where(col < sub[:, None], start + col, jnp.int32(0x7FFFFFFF))
+    _, v = jax.lax.sort((key.reshape(-1), plane.reshape(-1)),
+                        dimension=0, num_keys=1)
+    if v.shape[0] < n_words_cap:
+        # a bucketed cap can exceed the plane on small sub-blocks; the slack
+        # is trimmed by the caller either way
+        return jnp.pad(v, (0, n_words_cap - v.shape[0]))
+    return v[:n_words_cap]
+
+
+def trim_rows_np(plane: np.ndarray, sub_n_words: np.ndarray) -> np.ndarray:
+    """Host compaction of a pack_bits_rows plane: concat row s's first
+    sub_n_words[s] words (the dense stream, = pack_bits_scatter output)."""
+    plane = np.asarray(plane)
+    n = np.asarray(sub_n_words)
+    return np.concatenate(
+        [plane[s, : int(n[s])] for s in range(plane.shape[0])]
+    ) if plane.shape[0] else np.zeros(0, np.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_words", "max_per_word"))
 def pack_bits_gather(codes: jnp.ndarray, lens: jnp.ndarray,
                      bit_offsets: jnp.ndarray, n_words: int,

@@ -130,16 +130,18 @@ class ShardedSubblockCodec:
     def analyze(self, seq, qual, lens):
         return self._analyze(seq, qual, lens)
 
-    def _encoder(self, G: int, cap: int, mode: int):
-        key = (G, cap, mode)
+    def _encoder(self, G: int, cap: int, mode: int, pack: str):
+        key = (G, cap, mode, pack)
         fn = self._encode_cache.get(key)
         if fn is not None:
             return fn
         da = self.cfg.data_axis
 
         def encode(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens):
-            qw, qs, qt = qmod.encode_device(qual_t, lens, q_codes, q_lens, G, cap)
-            dw, ds, dt = dmod.encode_device(seq, keep, d_codes, d_lens, mode, G, cap)
+            qw, qs, qt = qmod.encode_device(
+                qual_t, lens, q_codes, q_lens, G, cap, pack=pack)
+            dw, ds, dt = dmod.encode_device(
+                seq, keep, d_codes, d_lens, mode, G, cap, pack=pack)
             return qw, qs, qt.reshape(1), dw, ds, dt.reshape(1)
 
         fn = jax.jit(shard_map(
@@ -151,9 +153,12 @@ class ShardedSubblockCodec:
         return fn
 
     def encode(self, qual_t, keep, seq, lens, q_codes, q_lens,
-               d_codes, d_lens, G: int, cap_per_shard: int, mode: int):
+               d_codes, d_lens, G: int, cap_per_shard: int, mode: int,
+               pack: str = "scatter"):
         """Returns per-shard-concatenated (q_words, q_sub, q_totals (n_data,),
-        d_words, d_sub, d_totals). The host trims each shard's cap slack using
-        the totals when assembling the stream."""
-        fn = self._encoder(G, cap_per_shard, mode)
+        d_words, d_sub, d_totals). pack="rows" packs per-shard (S, T) row
+        planes that concatenate along substreams (the format stays
+        shard-count independent); other modes pack linear cap buffers whose
+        slack the host trims using the totals."""
+        fn = self._encoder(G, cap_per_shard, mode, pack)
         return fn(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens)

@@ -110,7 +110,7 @@ class _StageB:
     one `blob` for a single device→host fetch."""
 
     __slots__ = ("a", "q_tables", "d_plan", "t_enc", "blob", "blob_layout",
-                 "n_shards")
+                 "n_shards", "rows_shapes")
 
 
 def _trim_shard_words(words: np.ndarray, totals: np.ndarray, n_shards: int
@@ -255,15 +255,15 @@ def _analyze_all(stacked, lens, is_delta=False):
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "G", "q_cap", "d_cap",
-                                              "q_group", "d_group"))
+                                              "q_group", "d_group", "pack"))
 def _encode_all(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
-                mode, G, q_cap, d_cap, q_group=2, d_group=2):
+                mode, G, q_cap, d_cap, q_group=2, d_group=2, pack="scatter"):
     """Whole stage-B device graph (both stream encoders + output fusion) as
     one executable; returns the fused fetch blob + layout sizes."""
     q_words, q_sub, q_total = quality.encode_device(
-        qual_t, lens, q_codes, q_lens, G, q_cap, q_group)
+        qual_t, lens, q_codes, q_lens, G, q_cap, q_group, pack)
     d_words, d_sub, d_total = dna.encode_device(
-        seq, keep, d_codes, d_lens, mode, G, d_cap, d_group)
+        seq, keep, d_codes, d_lens, mode, G, d_cap, d_group, pack)
     blob = jnp.concatenate([
         q_words.reshape(-1),
         d_words.reshape(-1),
@@ -308,32 +308,46 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
     t0 = _tick("b.tables", t0)
 
     S = a.Rp // G
+    pack = bitpack.pack_mode()
+    plane = pack == "rows"
     if codec is not None:
-        cap = _word_cap(a.Rp // st.n_shards, a.L, G)
+        cap = 0 if plane else _word_cap(a.Rp // st.n_shards, a.L, G)
         q_words, q_sub, q_total, d_words, d_sub, d_total = codec.encode(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
             jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
             jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
-            G, cap, st.d_plan.mode,
+            G, cap, st.d_plan.mode, pack,
         )
         st.blob_layout = [int(np.prod(x.shape)) for x in
                           (q_words, d_words, q_sub, d_sub)]
+        st.rows_shapes = (q_words.shape, d_words.shape) if plane else None
         st.blob = _fuse_blob(q_words, q_sub, jnp.asarray(q_total),
                              d_words, d_sub, jnp.asarray(d_total))
     else:
-        worst = _word_cap(a.Rp, a.L, G)
-        q_cap = _exact_cap(q_counts, st.q_tables.lens, S, worst)
-        if st.d_plan.mode == dna.MODE_PLAIN:
-            d_cap = _exact_cap(d_counts, np.full(256, 2, np.int64), S, worst)
+        if plane:
+            q_cap = d_cap = 0
         else:
-            d_cap = _exact_cap(d_counts, st.d_plan.lens_tab, S, worst)
+            worst = _word_cap(a.Rp, a.L, G)
+            q_cap = _exact_cap(q_counts, st.q_tables.lens, S, worst)
+            if st.d_plan.mode == dna.MODE_PLAIN:
+                d_cap = _exact_cap(d_counts, np.full(256, 2, np.int64), S, worst)
+            else:
+                d_cap = _exact_cap(d_counts, st.d_plan.lens_tab, S, worst)
         st.blob = _encode_all(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
             jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
             jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
-            st.d_plan.mode, G, q_cap, d_cap, q_group, d_group,
+            st.d_plan.mode, G, q_cap, d_cap, q_group, d_group, pack,
         )
-        st.blob_layout = [q_cap, d_cap, S, S]
+        if plane:
+            Lgq = -(-a.L // q_group)
+            d_elem = 16 if st.d_plan.mode == dna.MODE_PLAIN else d_group
+            Lgd = -(-a.L // d_elem)
+            st.rows_shapes = ((S, G * Lgq), (S, G * Lgd))
+            st.blob_layout = [S * G * Lgq, S * G * Lgd, S, S]
+        else:
+            st.rows_shapes = None
+            st.blob_layout = [q_cap, d_cap, S, S]
     t0 = _tick("b.encode_dispatch", t0)
     # title is host-heavy: runs on a worker thread started in stage A (or
     # inline here), while the device packs quality/dna
@@ -381,13 +395,21 @@ def stage_c(b: _StageB, cfg: CodecConfig) -> bytes:
         + bitpack.words_to_bytes(b.t_enc.char_words)
     )
 
-    q_stream = _trim_shard_words(q_words, q_total, b.n_shards)
+    if b.rows_shapes is not None:
+        q_stream = bitpack.trim_rows_np(
+            q_words.reshape(b.rows_shapes[0]), q_sub)
+    else:
+        q_stream = _trim_shard_words(q_words, q_total, b.n_shards)
     qbw = BitWriter()
     quality.write_header(qbw, b.q_tables, q_sub, q_stream.shape[0])
     qbw.flush()
     quality_sec = qbw.getvalue() + bitpack.words_to_bytes(q_stream)
 
-    d_stream = _trim_shard_words(d_words, d_total, b.n_shards)
+    if b.rows_shapes is not None:
+        d_stream = bitpack.trim_rows_np(
+            d_words.reshape(b.rows_shapes[1]), d_sub)
+    else:
+        d_stream = _trim_shard_words(d_words, d_total, b.n_shards)
     dbw = BitWriter()
     dna.write_header(dbw, b.d_plan, d_sub, d_stream.shape[0], a.is_delta)
     dbw.flush()

@@ -177,3 +177,62 @@ def test_words_bytes_roundtrip():
     rng = np.random.default_rng(6)
     words = rng.integers(0, 1 << 32, size=17, dtype=np.uint64).astype(np.uint32)
     np.testing.assert_array_equal(bytes_to_words(words_to_bytes(words)), words)
+
+
+# --- rows (sort-compaction) pack --------------------------------------------
+
+def _rows_vs_scatter(lens2d, G, seed=0):
+    """Build codes for the given per-element lens, pack both ways, compare."""
+    from phyngsc_tpu.ops.bitpack import (pack_bits_rows, substream_layout_np,
+                                         pack_bits_scatter_np, trim_rows_np)
+
+    rng = np.random.default_rng(seed)
+    lens2d = np.asarray(lens2d, np.int32)
+    codes = (rng.integers(0, 1 << 31, size=lens2d.shape).astype(np.uint64)
+             & ((1 << lens2d.astype(np.uint64)) - 1)).astype(np.uint32)
+    codes[lens2d == 0] = 0
+    plane, subw, total = pack_bits_rows(jnp.array(codes), jnp.array(lens2d), G)
+    lay = substream_layout_np(lens2d, G)
+    want = pack_bits_scatter_np(codes, lens2d, lay["bit_offsets"],
+                                max(int(lay["total_words"]), 1))
+    np.testing.assert_array_equal(np.asarray(subw), lay["sub_n_words"])
+    assert int(total) == int(lay["total_words"])
+    got = trim_rows_np(np.asarray(plane), np.asarray(subw))
+    np.testing.assert_array_equal(got, want[: int(lay["total_words"])])
+
+
+def test_pack_rows_random_mixed():
+    rng = np.random.default_rng(3)
+    lens = rng.integers(0, 33, size=(64, 9))
+    _rows_vs_scatter(lens, G=8)
+
+
+def test_pack_rows_exact_word_boundary():
+    # substream bits end exactly on a word boundary (phantom-flag path)
+    lens = np.full((8, 4), 8, np.int32)  # 32 bits/record, G=2 -> 64 bits/sub
+    _rows_vs_scatter(lens, G=2)
+
+
+def test_pack_rows_final_spill_word():
+    # last element straddles into a final word no element starts in
+    lens = np.array([[30, 30, 0, 0]], np.int32)  # 60 bits -> word 1 spill-only
+    _rows_vs_scatter(lens, G=1)
+
+
+def test_pack_rows_zero_runs_and_empty_substream():
+    lens = np.zeros((16, 6), np.int32)
+    lens[0:4] = [[5, 0, 0, 7, 1, 0]] * 4
+    lens[8] = [32, 32, 32, 0, 32, 9]
+    # substreams 3 (records 12..15) entirely empty
+    _rows_vs_scatter(lens, G=4)
+
+
+def test_pack_rows_32bit_elements():
+    # every element exactly 32 bits: word index increments exactly 1
+    lens = np.full((12, 3), 32, np.int32)
+    _rows_vs_scatter(lens, G=4)
+
+
+def test_pack_rows_single_element_substreams():
+    lens = np.array([[1], [31], [32], [0], [17]], np.int32)
+    _rows_vs_scatter(lens, G=1)

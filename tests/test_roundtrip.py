@@ -142,3 +142,16 @@ def test_deterministic_output():
     c1 = compress_bytes(data, CFG, 3)
     c2 = compress_bytes(data, CFG, 3)
     assert c1 == c2
+
+
+def test_rows_pack_roundtrip(monkeypatch):
+    """Force the TPU bitpack kernels (sort-compaction rows plane and its
+    on-device compaction) end-to-end on CPU: identical container bytes and a
+    byte-exact round trip in every mode."""
+    data = synthesize_fastq(2000, read_len=36, seed=8,
+                            variable_length=True, ambiguity_rate=0.05)
+    outs = []
+    for mode in ("rows", "rows_compact", "scatter"):
+        monkeypatch.setenv("PHYNGSC_PACK", mode)
+        outs.append(check(data, n_writers=2))
+    assert outs[0] == outs[1] == outs[2]
