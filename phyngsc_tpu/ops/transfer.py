@@ -1,0 +1,101 @@
+"""Host→device transfer packing for the (seq, qual) input planes.
+
+The pipeline's H2D traffic is 2 bytes per base (sequence byte + quality
+byte). On bandwidth-poor links (PCIe on production hosts, a loopback relay
+on this dev harness) that traffic bounds end-to-end throughput, so the host
+packs both planes before upload — DNA to 2 bits when the plane is pure
+ACGT (the common case; the reference reaches the same 4-symbol insight in
+its plain coder, tasks.cpp:239-256) and quality to 6 bits when all symbols
+are in [33, 96] — a 4x/1.33x reduction, 2x combined. The device unpacks
+inside the fused analyze graph with pure shift/mask vector ops (no gather).
+
+Word layout is lane-aligned: `per` values per uint32, value j in bits
+[32-w*(j+1), 32-w*j) — symbols never straddle words, so unpacking is one
+broadcast shift. Padding bytes (batch rows past R, columns past each
+record's length) are canonicalized ('A' / chr(33)) — every consumer masks
+by record length, so their value is never observed.
+
+Modes: SEQ_2BIT uses the (c >> 1) & 3 nucleotide code (A→0 C→1 T→2 G→3, a
+bijection on ACGT); QUAL_6BIT stores q − 33. *_RAW falls back to 4 bytes
+per word (IUPAC-rich DNA, SOLiD color space, exotic quality ranges).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEQ_RAW = 0
+SEQ_2BIT = 1
+QUAL_RAW = 0
+QUAL_6BIT = 1
+
+_PER = {2: 16, 6: 5, 8: 4}  # width -> values per uint32 word
+
+
+def _width(kind: str, mode: int) -> int:
+    if kind == "seq":
+        return 2 if mode == SEQ_2BIT else 8
+    return 6 if mode == QUAL_6BIT else 8
+
+
+def n_words(n_values: int, kind: str, mode: int) -> int:
+    per = _PER[_width(kind, mode)]
+    return (n_values + per - 1) // per
+
+
+def _pack_fixed_np(vals: np.ndarray, w: int) -> np.ndarray:
+    per = _PER[w]
+    pad = (-vals.size) % per
+    v = np.concatenate([vals.reshape(-1).astype(np.uint32),
+                        np.zeros(pad, np.uint32)])
+    shifts = (32 - w * (np.arange(per) + 1)).astype(np.uint32)
+    return np.bitwise_or.reduce(v.reshape(-1, per) << shifts[None, :], axis=1)
+
+
+def pack_seq_np(seq: np.ndarray):
+    """(R, L) uint8 sequence plane (padding 0) → (mode, uint32 words)."""
+    f = seq.reshape(-1)
+    acgt = (f == 0) | (f == 65) | (f == 67) | (f == 71) | (f == 84)
+    if acgt.all():
+        return SEQ_2BIT, _pack_fixed_np((f >> 1) & 3, 2)
+    return SEQ_RAW, _pack_fixed_np(f, 8)
+
+
+def pack_qual_np(qual: np.ndarray):
+    """(R, L) uint8 quality plane (padding 0) → (mode, uint32 words)."""
+    f = qual.reshape(-1)
+    ok = (f == 0) | ((f >= 33) & (f <= 96))
+    if ok.all():
+        v = np.where(f == 0, 0, f.astype(np.int32) - 33).astype(np.uint32)
+        return QUAL_6BIT, _pack_fixed_np(v, 6)
+    return QUAL_RAW, _pack_fixed_np(f, 8)
+
+
+def _unpack_words(words: jnp.ndarray, w: int, R: int, L: int) -> jnp.ndarray:
+    per = _PER[w]
+    shifts = jnp.array(32 - w * (np.arange(per) + 1), jnp.uint32)
+    lanes = (words[:, None] >> shifts[None, :]) & jnp.uint32((1 << w) - 1)
+    return lanes.reshape(-1)[: R * L].reshape(R, L)
+
+
+def unpack_seq(words: jnp.ndarray, mode: int, R: int, L: int) -> jnp.ndarray:
+    """Inverse of pack_seq_np on device → (R, L) uint8 symbol plane
+    (2-bit padding decodes to 'A'; consumers mask by record length)."""
+    if mode == SEQ_RAW:
+        return _unpack_words(words, 8, R, L).astype(jnp.uint8)
+    v = _unpack_words(words, 2, R, L)
+    # inverse of (c >> 1) & 3: 0→'A' 1→'C' 2→'T' 3→'G'
+    chars = (jnp.uint32(65) + jnp.where(v == 1, 2, 0)
+             + jnp.where(v == 2, 19, 0) + jnp.where(v == 3, 6, 0))
+    return chars.astype(jnp.uint8)
+
+
+def unpack_qual(words: jnp.ndarray, mode: int, R: int, L: int) -> jnp.ndarray:
+    """Inverse of pack_qual_np on device (6-bit padding decodes to chr(33))."""
+    if mode == QUAL_RAW:
+        return _unpack_words(words, 8, R, L).astype(jnp.uint8)
+    return (_unpack_words(words, 6, R, L) + 33).astype(jnp.uint8)

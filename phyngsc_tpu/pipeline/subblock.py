@@ -27,7 +27,7 @@ import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.models import dna, quality, title
-from phyngsc_tpu.ops import bitpack
+from phyngsc_tpu.ops import bitpack, transfer
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter
 from phyngsc_tpu.utils.fastq import RecordIndex
 from phyngsc_tpu.utils.shapes import bucket_length, bucket_records
@@ -206,9 +206,12 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
         st.n_q_counts = int(q_counts.shape[0]) * int(q_counts.shape[1])
         st.counts_blob = _fuse_counts(q_counts, d_counts)
     else:
-        stacked = jnp.array(np.stack([seq_np, qual_np]))  # one H2D transfer
+        s_mode, s_words = transfer.pack_seq_np(seq_np)
+        q_mode, q_words = transfer.pack_qual_np(qual_np)
+        blob_in = jnp.array(np.concatenate([s_words, q_words]))  # one H2D
         st.seq_j, st.qual_t, st.keep, st.counts_blob = _analyze_all(
-            stacked, lens_j, is_delta=st.is_delta)
+            blob_in, lens_j, is_delta=st.is_delta,
+            seq_mode=s_mode, qual_mode=q_mode, L=L)
         st.n_q_counts = min(L, quality.MAX_TREES) * quality.ALPHABET
     _host_async(st.counts_blob)
     if executor is not None:
@@ -236,12 +239,21 @@ def _fuse_counts(q_counts, d_counts):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("is_delta",))
-def _analyze_all(stacked, lens, is_delta=False):
-    """Whole stage-A device graph as ONE executable over ONE H2D transfer
-    (stacked = [seq; qual], (2, R, L) uint8) — the remote tunnel pays
-    per-call and per-transfer latency, so both counts matter."""
-    seq, qual = stacked[0], stacked[1]
+@functools.partial(jax.jit, static_argnames=("is_delta", "seq_mode",
+                                              "qual_mode", "L"))
+def _analyze_all(blob, lens, is_delta=False, seq_mode=0, qual_mode=0, L=1):
+    """Whole stage-A device graph as ONE executable over ONE H2D transfer.
+
+    blob is the host-packed [seq_words | qual_words] uint32 buffer
+    (ops/transfer: 2-bit DNA + 6-bit quality in the common case — halves
+    H2D bytes, which bound e2e throughput on PCIe/relay links); unpacking
+    is fused shift/mask vector ops. The remote tunnel also pays per-call
+    and per-transfer latency, so call and transfer counts both stay at one.
+    """
+    R = lens.shape[0]
+    ns = transfer.n_words(R * L, "seq", seq_mode)
+    seq = transfer.unpack_seq(blob[:ns], seq_mode, R, L)
+    qual = transfer.unpack_qual(blob[ns:], qual_mode, R, L)
     if is_delta:
         seq = dna.delta_translate(seq, lens)
     qual_t, keep, _ = dna.transfer_ambiguity(seq, qual, lens)

@@ -1,0 +1,55 @@
+"""H2D transfer packing (ops/transfer): host pack ↔ device unpack."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from phyngsc_tpu.ops import transfer
+
+
+def test_seq_2bit_roundtrip():
+    rng = np.random.default_rng(0)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    seq = acgt[rng.integers(0, 4, size=(37, 13))]
+    seq[5, 7:] = 0  # padding bytes
+    mode, words = transfer.pack_seq_np(seq)
+    assert mode == transfer.SEQ_2BIT
+    assert words.shape[0] == transfer.n_words(37 * 13, "seq", mode)
+    out = np.asarray(transfer.unpack_seq(jnp.array(words), mode, 37, 13))
+    want = np.where(seq == 0, ord("A"), seq)  # padding canonicalized
+    np.testing.assert_array_equal(out, want)
+
+
+def test_seq_raw_fallback_on_iupac():
+    seq = np.frombuffer(b"ACGTNACGTYA** ACG".replace(b" ", b"A"), np.uint8
+                        ).reshape(1, -1).copy()
+    mode, words = transfer.pack_seq_np(seq)
+    assert mode == transfer.SEQ_RAW
+    out = np.asarray(transfer.unpack_seq(jnp.array(words), mode, 1, seq.shape[1]))
+    np.testing.assert_array_equal(out, seq)
+
+
+def test_qual_6bit_roundtrip():
+    rng = np.random.default_rng(1)
+    qual = rng.integers(33, 97, size=(20, 9)).astype(np.uint8)
+    qual[3, 4:] = 0
+    mode, words = transfer.pack_qual_np(qual)
+    assert mode == transfer.QUAL_6BIT
+    out = np.asarray(transfer.unpack_qual(jnp.array(words), mode, 20, 9))
+    want = np.where(qual == 0, 33, qual)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_qual_raw_fallback_on_high_phred():
+    qual = np.full((4, 7), 100, np.uint8)  # > 96
+    mode, words = transfer.pack_qual_np(qual)
+    assert mode == transfer.QUAL_RAW
+    out = np.asarray(transfer.unpack_qual(jnp.array(words), mode, 4, 7))
+    np.testing.assert_array_equal(out, qual)
+
+
+def test_packed_sizes():
+    # 2-bit: 16/word, 6-bit: 5/word, raw: 4/word
+    assert transfer.n_words(32, "seq", transfer.SEQ_2BIT) == 2
+    assert transfer.n_words(33, "seq", transfer.SEQ_2BIT) == 3
+    assert transfer.n_words(10, "qual", transfer.QUAL_6BIT) == 2
+    assert transfer.n_words(10, "seq", transfer.SEQ_RAW) == 3
