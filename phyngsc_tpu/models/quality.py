@@ -146,6 +146,74 @@ def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
 
 # -- decode -----------------------------------------------------------------
 
+def pair_lut_bits(tables: QualityTables) -> int:
+    """Width for the two-symbols-per-gather decode LUTs, bucketed so
+    executables are shared; 0 = combined codes too long, use the single
+    walk."""
+    m = int(tables.lens.max()) if tables.lens.size else 1
+    w = 2 * max(m, 1)
+    for b in (8, 12, 16):
+        if w <= b:
+            return b
+    return 0
+
+
+def pair_luts(tables: QualityTables, Lt: int, lut_bits2: int) -> np.ndarray:
+    """Pair decode tables for uniform-length records: table a decodes
+    positions (a, (a+1) % Lt) — consecutive steps wrap from a record's last
+    position to the next record's first. Layout: [0, Lt) pair tables,
+    [Lt, 2Lt) half tables (odd substream boundary: first symbol only),
+    [2Lt] the zero table (exhausted substream: no advance)."""
+    n_trees = tables.n_trees
+    P = 2 * Lt + 1
+    out = np.zeros((P, 1 << lut_bits2), np.int32)
+    for a in range(Lt):
+        ta = min(a, n_trees - 1)
+        tb = min((a + 1) % Lt, n_trees - 1)
+        out[a] = huffman.pair_decode_lut(
+            tables.lens[ta], tables.lens[tb], lut_bits2,
+            int(tables.singletons[ta]), int(tables.singletons[tb]))
+        out[Lt + a] = huffman.half_decode_lut(
+            tables.lens[ta], lut_bits2, int(tables.singletons[ta]))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("L", "Lt",
+                                             "records_per_substream",
+                                             "lut_bits2"))
+def decode_device_pairs(words: jnp.ndarray, sub_n_words: jnp.ndarray,
+                        lens: jnp.ndarray, luts2: jnp.ndarray,
+                        L: int, Lt: int, records_per_substream: int,
+                        lut_bits2: int):
+    """Uniform-length fast path decoding two symbols per LUT gather
+    (~2x over decode_device; the walk is gather-bound). Output matches
+    decode_device bit-for-bit."""
+    G = records_per_substream
+    R = lens.shape[0]
+    S = R // G
+    T = G * L
+    assert T % 2 == 0, "bucketed T is even (L is a multiple of 4)"
+    T2 = T // 2
+    sub_word_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(sub_n_words)[:-1].astype(jnp.int32)]
+    )
+    t2 = jnp.arange(T2, dtype=jnp.int32)
+    a = (2 * t2) % Lt
+    total = jnp.sum(lens.reshape(S, G).astype(jnp.int32), axis=1,
+                    keepdims=True)
+    tid2 = jnp.where(
+        2 * t2[None, :] + 1 < total, a[None, :],
+        jnp.where(2 * t2[None, :] < total, Lt + a[None, :], 2 * Lt))
+    packed = bitpack.unpack_substreams_pairs(
+        words, sub_word_start, luts2, tid2, T2, lut_bits2)  # (S, T2)
+    syms = jnp.stack([packed & 0x1FF, (packed >> 9) & 0x1FF],
+                     axis=2).reshape(S, T)
+    step_of = ((jnp.arange(R, dtype=jnp.int32) % G) * Lt)[:, None] \
+        + jnp.arange(L, dtype=jnp.int32)[None, :]
+    sub_of_r = jnp.arange(R, dtype=jnp.int32) // G
+    out = syms[sub_of_r[:, None], jnp.clip(step_of, 0, T - 1)]
+    return jnp.where(valid_mask(lens, L), out, 0).astype(jnp.uint8)
+
 @functools.partial(jax.jit, static_argnames=("L", "records_per_substream"))
 def _steps_from_lens(lens: jnp.ndarray, L: int, records_per_substream: int):
     """Map decode steps to (record, position) from per-record lengths.

@@ -533,13 +533,23 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
         return out
 
     q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)))
-    qual_t = quality.decode_device(
-        jnp.array(q_words), jnp.array(q_sub), lens_j,
-        jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
-        # only when Lt fills the bucket exactly — otherwise the static arg
-        # would key one executable per raw read length instead of per bucket
-        uniform_len=Lt if (not variable and Lt == L) else 0,
-    )
+    pair_bits = quality.pair_lut_bits(q_tables) if (not variable and R) else 0
+    if pair_bits:
+        # uniform-length fast path: two symbols per LUT gather (the walk is
+        # gather-bound, so this is ~2x)
+        qual_t = quality.decode_device_pairs(
+            jnp.array(q_words), jnp.array(q_sub), lens_j,
+            jnp.array(quality.pair_luts(q_tables, Lt, pair_bits)),
+            L, Lt, G, pair_bits,
+        )
+    else:
+        qual_t = quality.decode_device(
+            jnp.array(q_words), jnp.array(q_sub), lens_j,
+            jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
+            # only when Lt fills the bucket exactly — otherwise the static
+            # arg would key one executable per raw read length
+            uniform_len=Lt if (not variable and Lt == L) else 0,
+        )
 
     # dna — the keep mask stays on device (quality >= 128 marks transferred
     # positions); the whole quality→dna→restore→delta chain runs without a

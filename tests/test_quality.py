@@ -103,3 +103,40 @@ def test_compression_beats_raw():
         jnp.array(tables.codes), jnp.array(tables.lens), G, R * L,
     )
     assert int(total_words) * 4 < R * L * 0.6  # < 4.8 bits/symbol here
+
+
+def test_pair_decode_matches_single_walk():
+    """decode_device_pairs (two symbols per gather) must reproduce
+    decode_device exactly, including odd substream boundaries, padding
+    records, and record-wrapping pairs (odd read length)."""
+    import jax.numpy as jnp
+
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.models import quality
+    from phyngsc_tpu.utils.shapes import bucket_length
+
+    cfg = CodecConfig()
+    rng = np.random.default_rng(11)
+    for Lt, R_real, G in ((7, 37, 8), (36, 120, 16), (12, 33, 4)):
+        L = bucket_length(Lt)
+        Rp = ((R_real + G - 1) // G) * G
+        qual = np.zeros((Rp, L), np.uint8)
+        qual[:R_real, :Lt] = rng.integers(33, 60, size=(R_real, Lt))
+        lens = np.concatenate([np.full(R_real, Lt, np.int32),
+                               np.zeros(Rp - R_real, np.int32)])
+        counts = np.asarray(quality.analyze(jnp.array(qual), jnp.array(lens)))
+        tables = quality.build_tables(counts, cfg)
+        cap = Rp * L // 2 + Rp // G + 8
+        words, sub, _ = quality.encode_device(
+            jnp.array(qual), jnp.array(lens),
+            jnp.array(tables.codes), jnp.array(tables.lens), G, cap)
+        single = quality.decode_device(
+            jnp.asarray(words), jnp.asarray(sub), jnp.array(lens),
+            jnp.array(tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len)
+        pb = quality.pair_lut_bits(tables)
+        assert pb > 0
+        paired = quality.decode_device_pairs(
+            jnp.asarray(words), jnp.asarray(sub), jnp.array(lens),
+            jnp.array(quality.pair_luts(tables, Lt, pb)), L, Lt, G, pb)
+        np.testing.assert_array_equal(np.asarray(paired), np.asarray(single))
+        np.testing.assert_array_equal(np.asarray(paired), qual)
