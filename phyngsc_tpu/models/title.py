@@ -49,6 +49,19 @@ KIND_NUMERIC = 0
 KIND_CHAR = 1
 NUM_VALUE = 0
 NUM_DELTA = 1
+#: per-block descriptors (reference BlockDesc granularity, tasks.cpp:63-81 /
+#: DEFAULT_B_SIZE=32, tasks.cpp:26): each 32-record block is flagged
+#: constant / delta-constant / raw and pays only what it needs — the win on
+#: tile-sorted datasets where a coordinate field holds still for runs.
+#: Signaled by the width==127 escape in the header (old containers never
+#: write widths > 64, so v2 files parse unchanged).
+NUM_BLOCK = 2
+BLOCK_RECORDS = 32
+#: header escape value for NUM_BLOCK (7-bit width field)
+_WIDTH_ESCAPE = 127
+BLK_CONST = 0
+BLK_DELTA = 1
+BLK_RAW = 2
 MAX_NUMERIC_DIGITS = 18
 
 
@@ -132,14 +145,22 @@ def field_content(titles: np.ndarray, tok: Tokenized, f: int) -> np.ndarray:
 @dataclasses.dataclass
 class NumericPlan:
     kind: int            # KIND_NUMERIC
-    mode: int            # NUM_VALUE | NUM_DELTA
-    width: int           # payload bits per record (0 = constant)
-    base: int            # value mode: min; delta mode: min delta (signed)
+    mode: int            # NUM_VALUE | NUM_DELTA | NUM_BLOCK
+    width: int           # payload bits per record (0 = constant); NUM_BLOCK:
+                         # bits per value (relative to base)
+    base: int            # value/block mode: min; delta mode: min delta (signed)
     first: int = 0       # delta mode: value of record 0
+    dwidth: int = 0      # NUM_BLOCK: bits per zigzag in-block delta
+    # NUM_BLOCK per-block descriptors (filled by the planner on encode, by
+    # read_header on decode): flag per block + its payload values
+    blk_flags: Optional[np.ndarray] = None   # (nB,) uint8 BLK_*
+    blk_a: Optional[np.ndarray] = None       # (nB,) uint64 value/first − base
+    blk_d: Optional[np.ndarray] = None       # (nB,) uint64 zigzag delta
+    blk_raw: Optional[np.ndarray] = None     # (sum of raw counts,) uint64
 
     @property
     def chunk_widths(self) -> List[int]:
-        if self.width == 0:
+        if self.width == 0 or self.mode == NUM_BLOCK:
             return []
         n = (self.width + 15) // 16
         return [self.width - 16 * (n - 1)] + [16] * (n - 1)
@@ -201,15 +222,60 @@ def _numeric_plan_from_values(vals: np.ndarray) -> NumericPlan:
     R = vals.shape[0]
     vmin, vmax = int(vals.min()), int(vals.max())
     width_v = bit_length(vmax - vmin) if vmax > vmin else 0
-    bits_v = R * width_v
+    best = NumericPlan(KIND_NUMERIC, NUM_VALUE, width_v, vmin)
+    best_bits = R * width_v
     if R >= 2:
         d = np.diff(vals)
         dmin, dmax = int(d.min()), int(d.max())
         width_d = bit_length(dmax - dmin) if dmax > dmin else 0
         bits_d = (R - 1) * width_d + 128
-        if bits_d < bits_v:
-            return NumericPlan(KIND_NUMERIC, NUM_DELTA, width_d, dmin, int(vals[0]))
-    return NumericPlan(KIND_NUMERIC, NUM_VALUE, width_v, vmin)
+        if bits_d < best_bits:
+            best = NumericPlan(KIND_NUMERIC, NUM_DELTA, width_d, dmin,
+                               int(vals[0]))
+            best_bits = bits_d
+    blk = _plan_numeric_block(vals, vmin, width_v)
+    if blk is not None and blk[1] < best_bits:
+        return blk[0]
+    return best
+
+
+def _plan_numeric_block(vals: np.ndarray, vmin: int, width_v: int):
+    """Per-32-record-block descriptors (NUM_BLOCK): returns (plan, bits) or
+    None. Each block is constant (one value), delta-constant (first + step)
+    or raw (count × width_v); 2 flag bits per block. Wins on tile-sorted
+    datasets where coordinate fields hold still or count up for runs."""
+    R = vals.shape[0]
+    B = BLOCK_RECORDS
+    if R < 2 or width_v == 0:
+        return None
+    nB = (R + B - 1) // B
+    pad = nB * B - R
+    V = np.concatenate([vals, np.repeat(vals[-1:], pad)]).reshape(nB, B)
+    cnt = np.minimum(np.arange(nB) * -B + R, B)  # records in each block
+    cnt = np.clip(cnt, 1, B)
+    const = np.all(V == V[:, :1], axis=1)
+    D = np.diff(V, axis=1)                        # padded tail deltas are 0
+    dmask = np.arange(1, B)[None, :] < cnt[:, None]
+    first_d = D[:, 0]
+    dconst = np.all((D == first_d[:, None]) | ~dmask, axis=1) & (cnt >= 2)
+    zz = np.where(first_d < 0, (np.abs(first_d) << 1) - 1, first_d << 1)
+    use_d = dconst & ~const
+    wzd = bit_length(int(zz[use_d].max())) if bool(use_d.any()) else 0
+    flags = np.where(const, BLK_CONST,
+                     np.where(dconst, BLK_DELTA, BLK_RAW)).astype(np.uint8)
+    raw = flags == BLK_RAW
+    bits = int(2 * nB + width_v * (np.sum(~raw) + np.sum(cnt[raw]))
+               + wzd * int(use_d.sum())) + 64 + 16
+    a = (V[:, 0].astype(np.int64) - vmin).astype(np.uint64)
+    # raw blocks store only their real records, row-major
+    if raw.any():
+        m = np.arange(B)[None, :] < cnt[raw][:, None]
+        blk_raw = (V[raw] - vmin).astype(np.uint64)[m]
+    else:
+        blk_raw = np.zeros(0, np.uint64)
+    plan = NumericPlan(KIND_NUMERIC, NUM_BLOCK, width_v, vmin, 0, wzd,
+                       flags, a, zz.astype(np.uint64), blk_raw)
+    return plan, bits
 
 
 def plan_char(content: np.ndarray, flens: np.ndarray, cfg: CodecConfig) -> CharPlan:
@@ -397,8 +463,8 @@ def _fixed_payload(plan: TitlePlan, ctx: TitleContext, R: int) -> np.ndarray:
     cols = []
     for f, p in enumerate(plan.fields):
         if p.kind == KIND_NUMERIC:
-            if p.width == 0:
-                continue
+            if p.width == 0 or p.mode == NUM_BLOCK:
+                continue  # constant / block-descriptor fields: no per-record payload
             if ctx.scan_values is not None:
                 vals = ctx.scan_values[:, f]
             else:
@@ -507,6 +573,26 @@ def encode(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
 # Decode
 # ---------------------------------------------------------------------------
 
+def _block_values(p: NumericPlan, R: int) -> np.ndarray:
+    """Reconstruct R values from NUM_BLOCK per-block descriptors."""
+    B = BLOCK_RECORDS
+    nB = p.blk_flags.shape[0]
+    cnt = np.clip(np.minimum(np.arange(nB) * -B + R, B), 1, B)
+    i = np.arange(B, dtype=np.int64)
+    zz = p.blk_d.astype(np.int64)
+    step = np.where(zz & 1, -((zz + 1) >> 1), zz >> 1)
+    step = np.where(p.blk_flags == BLK_DELTA, step, 0)
+    firsts = p.blk_a.astype(np.int64) + p.base
+    V = firsts[:, None] + step[:, None] * i[None, :]
+    rawsel = p.blk_flags == BLK_RAW
+    if rawsel.any():
+        mr = i[None, :] < cnt[rawsel][:, None]
+        Vr = np.zeros((int(rawsel.sum()), B), np.int64)
+        Vr[mr] = p.blk_raw.astype(np.int64) + p.base
+        V[rawsel] = Vr
+    m = i[None, :] < cnt[:, None]
+    return V[m]
+
 def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
            char_sub_n_words: np.ndarray, R: int, cfg: CodecConfig):
     """Reconstruct R title byte strings. Returns (titles (R, TL) uint8, tlens)."""
@@ -530,18 +616,21 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
     k = 0
     for f, p in enumerate(plan.fields):
         if p.kind == KIND_NUMERIC:
-            cw = p.chunk_widths
-            enc = np.zeros(R, np.uint64)
-            for j, wdt in enumerate(cw):
-                enc = (enc << np.uint64(wdt)) | chunks[:, k + j].astype(np.uint64)
-            k += len(cw)
-            if p.mode == NUM_VALUE:
-                vals = enc.astype(np.int64) + p.base
+            if p.mode == NUM_BLOCK:
+                vals = _block_values(p, R)
             else:
-                d = enc.astype(np.int64) + p.base
-                if R:
-                    d[0] = 0
-                vals = np.cumsum(d) + p.first
+                cw = p.chunk_widths
+                enc = np.zeros(R, np.uint64)
+                for j, wdt in enumerate(cw):
+                    enc = (enc << np.uint64(wdt)) | chunks[:, k + j].astype(np.uint64)
+                k += len(cw)
+                if p.mode == NUM_VALUE:
+                    vals = enc.astype(np.int64) + p.base
+                else:
+                    d = enc.astype(np.int64) + p.base
+                    if R:
+                        d[0] = 0
+                    vals = np.cumsum(d) + p.first
             field_vals[f] = vals
             ndig = np.ones(R, np.int64)
             vv = np.maximum(vals, 1)
@@ -665,6 +754,24 @@ def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
     for p in plan.fields:
         bw.put_bit(p.kind)
         if p.kind == KIND_NUMERIC:
+            if p.mode == NUM_BLOCK:
+                # width==127 escape: v2 decoders never see it (real widths
+                # <= 64); everything after is the block-descriptor layout
+                bw.put_bit(0)
+                bw.put_bits(_WIDTH_ESCAPE, 7)
+                bw.put_bits(p.width, 7)
+                bw.put_bits(p.dwidth, 7)
+                bw.put_uint(p.base, 8)
+                for b in range(p.blk_flags.shape[0]):
+                    fl = int(p.blk_flags[b])
+                    bw.put_bits(fl, 2)
+                    if fl != BLK_RAW:
+                        bw.put_bits(int(p.blk_a[b]), p.width)
+                    if fl == BLK_DELTA:
+                        bw.put_bits(int(p.blk_d[b]), p.dwidth)
+                if p.blk_raw.shape[0]:
+                    put_uint_array(bw, p.blk_raw, p.width)
+                continue
             bw.put_bit(p.mode)
             bw.put_bits(p.width, 7)
             if p.mode == NUM_VALUE:
@@ -693,7 +800,7 @@ def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
     put_uint_array(bw, sub, w)
 
 
-def read_header(br: BitReader):
+def read_header(br: BitReader, R: int = 0):
     F = br.get_bits(16)
     seps = np.array([br.get_byte() for _ in range(max(F - 1, 0))], np.uint8)
     fields = []
@@ -702,6 +809,28 @@ def read_header(br: BitReader):
         if kind == KIND_NUMERIC:
             mode = br.get_bit()
             width = br.get_bits(7)
+            if width == _WIDTH_ESCAPE:
+                wv = br.get_bits(7)
+                wzd = br.get_bits(7)
+                base = br.get_uint(8)
+                B = BLOCK_RECORDS
+                nB = (R + B - 1) // B
+                cnt = np.clip(np.minimum(np.arange(nB) * -B + R, B), 1, B)
+                flags = np.zeros(nB, np.uint8)
+                a = np.zeros(nB, np.uint64)
+                d = np.zeros(nB, np.uint64)
+                for b in range(nB):
+                    fl = br.get_bits(2)
+                    flags[b] = fl
+                    if fl != BLK_RAW:
+                        a[b] = br.get_bits(wv)
+                    if fl == BLK_DELTA:
+                        d[b] = br.get_bits(wzd)
+                n_raw = int(cnt[flags == BLK_RAW].sum())
+                raw = get_uint_array(br, n_raw, wv).astype(np.uint64)
+                fields.append(NumericPlan(KIND_NUMERIC, NUM_BLOCK, wv, base,
+                                          0, wzd, flags, a, d, raw))
+                continue
             if mode == NUM_VALUE:
                 base, first = br.get_uint(8), 0
             else:

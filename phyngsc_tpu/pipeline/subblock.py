@@ -505,7 +505,7 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
 
     # title
     br = BitReader(title_sec)
-    t_plan, n_fixed, n_char, t_sub = title.read_header(br)
+    t_plan, n_fixed, n_char, t_sub = title.read_header(br, R)
     br.align()
     fixed_words = bitpack.bytes_to_words(br.get_bytes(4 * n_fixed))
     char_words = bitpack.bytes_to_words(br.get_bytes(4 * n_char))

@@ -26,7 +26,8 @@ def roundtrip(strings):
     bw = BitWriter()
     title.write_header(bw, enc)
     bw.flush()
-    plan2, n_fixed, n_char, sub = title.read_header(BitReader(bw.getvalue()))
+    plan2, n_fixed, n_char, sub = title.read_header(
+        BitReader(bw.getvalue()), len(strings))
     assert n_fixed == enc.fixed_words.shape[0]
     assert n_char == enc.char_words.shape[0]
     np.testing.assert_array_equal(sub, np.asarray(enc.char_sub_n_words))
@@ -63,7 +64,12 @@ def test_delta_coding_on_sequential_ids():
     num = [p for p in plan.fields if p.kind == title.KIND_NUMERIC]
     assert num, "sequential numeric field expected"
     p = num[-1]
-    assert p.mode == title.NUM_DELTA and p.width == 0  # constant delta = free
+    # sequential ids are near-free: either constant-delta (zero payload
+    # width) or block mode with every block delta-constant (no raw payload)
+    if p.mode == title.NUM_BLOCK:
+        assert p.blk_raw.shape[0] == 0
+    else:
+        assert p.mode == title.NUM_DELTA and p.width == 0
 
 
 def test_constant_title_field_is_free():
@@ -130,9 +136,59 @@ def test_long_field_overflow_tree():
     bw = BitWriter()
     title.write_header(bw, enc)
     bw.flush()
-    plan2, _, _, sub = title.read_header(BitReader(bw.getvalue()))
+    plan2, _, _, sub = title.read_header(BitReader(bw.getvalue()), len(strings))
     out_mat, out_lens = title.decode(
         plan2, enc.fixed_words, enc.char_words, sub, len(strings), cfg_small
     )
     got = [bytes(out_mat[i, : out_lens[i]]) for i in range(len(strings))]
     assert got == strings
+
+
+def test_block_descriptors_tile_sorted():
+    """Per-32-record-block numeric descriptors (reference BlockDesc
+    granularity): a tile field constant for long runs and an x coordinate
+    counting up per tile should pick NUM_BLOCK and shrink the payload."""
+    strings = []
+    for tile in range(4):
+        for x in range(70):  # runs cross the 32-record block size
+            strings.append(b"@SRR1.%d:%d:%d" % (tile + 1101, 5000 + 7 * x, 42))
+    enc = roundtrip(strings)
+    modes = [p.mode for p in enc.plan.fields if p.kind == title.KIND_NUMERIC
+             and p.width > 0]
+    assert title.NUM_BLOCK in modes  # tile and/or x field went block-mode
+
+    # the same titles with the tile field randomized must still round-trip
+    rng = np.random.default_rng(0)
+    strings2 = [b"@SRR1.%d:%d:%d" % (rng.integers(1, 10**6), 5000 + 7 * i, 42)
+                for i in range(280)]
+    roundtrip(strings2)
+
+
+def test_block_descriptors_beat_value_mode_size():
+    # constant-for-runs field: block mode must not be larger than value mode
+    vals = np.repeat(np.arange(10, dtype=np.int64) * 997 + 12345, 64)
+    plan = title._numeric_plan_from_values(vals)
+    assert plan.mode == title.NUM_BLOCK
+    # block-aligned runs: every block is constant -> no raw payload
+    assert plan.blk_raw.shape[0] == 0
+    # unaligned runs produce raw boundary blocks but still round-trip
+    vals2 = np.repeat(np.arange(10, dtype=np.int64) * 997 + 12345, 40)
+    plan2 = title._numeric_plan_from_values(vals2)
+    assert plan2.mode == title.NUM_BLOCK and plan2.blk_raw.shape[0] > 0
+    np.testing.assert_array_equal(title._block_values(plan2, vals2.shape[0]),
+                                  vals2)
+
+
+def test_block_descriptors_raw_blocks_exact():
+    rng = np.random.default_rng(3)
+    # alternating constant runs and noise so some blocks go raw
+    vals = np.concatenate([
+        np.full(64, 7_000_000, np.int64),
+        rng.integers(0, 10**9, size=48),
+        np.arange(100, dtype=np.int64) * 3 + 5,
+    ])
+    plan, bits = title._plan_numeric_block(
+        vals, int(vals.min()),
+        title.bit_length(int(vals.max() - vals.min())))
+    got = title._block_values(plan, vals.shape[0])
+    np.testing.assert_array_equal(got, vals)
