@@ -96,71 +96,59 @@ void huffman_one(const int64_t *hist, int32_t A, int32_t max_len,
   std::sort(present.begin(), present.end(), [&](int a, int b) {
     return hist[a] != hist[b] ? hist[a] < hist[b] : a < b;
   });
-  // two-queue merge: leaves (sorted) + internal nodes (produced sorted)
-  std::vector<int64_t> leaf_w(n), node_w;
-  std::vector<int> parent(2 * n - 1, -1);
-  node_w.reserve(n - 1);
+  // Package-merge (Larmore–Hirschberg coin collector): exact optimal
+  // length-limited codes. Ordering mirrors ops/huffman.
+  // _package_merge_lengths exactly — leaves sorted by (freq, symbol); on
+  // weight ties leaves precede packages and earlier items precede later
+  // (both inputs to each merge are pre-sorted, so the stable two-pointer
+  // merge with leaf priority reproduces numpy's lexsort) — so native and
+  // numpy builders emit identical tables.
+  std::vector<int64_t> leaf_w(n);
   for (int i = 0; i < n; ++i) leaf_w[i] = hist[present[i]];
-  int li = 0;
-  size_t ni = 0;
-  auto take = [&]() -> int {
-    // returns node id: leaves are [0, n), internals [n, 2n-1)
-    bool use_leaf;
-    if (li >= n) use_leaf = false;
-    else if (ni >= node_w.size()) use_leaf = true;
-    else use_leaf = leaf_w[li] <= node_w[ni];
-    if (use_leaf) return li++;
-    return n + (int)(ni++);
-  };
-  for (int k = 0; k < n - 1; ++k) {
-    int a = take();
-    int b = take();
-    int64_t w = (a < n ? leaf_w[a] : node_w[a - n]) +
-                (b < n ? leaf_w[b] : node_w[b - n]);
-    int id = n + (int)node_w.size();
-    node_w.push_back(w);
-    parent[a] = id;
-    parent[b] = id;
+  std::vector<int64_t> cur_w(leaf_w);
+  std::vector<uint16_t> cur_c((size_t)n * n, 0);  // item-major leaf counts
+  for (int i = 0; i < n; ++i) cur_c[(size_t)i * n + i] = 1;
+  std::vector<int64_t> pkg_w, mrg_w;
+  std::vector<uint16_t> pkg_c, mrg_c;
+  for (int level = 0; level < max_len - 1; ++level) {
+    const int m = (int)(cur_w.size() / 2) * 2;
+    const int np_ = m / 2;
+    pkg_w.assign(np_, 0);
+    pkg_c.assign((size_t)np_ * n, 0);
+    for (int j = 0; j < np_; ++j) {
+      pkg_w[j] = cur_w[2 * j] + cur_w[2 * j + 1];
+      const uint16_t *a = &cur_c[(size_t)(2 * j) * n];
+      const uint16_t *b = &cur_c[(size_t)(2 * j + 1) * n];
+      uint16_t *dst = &pkg_c[(size_t)j * n];
+      for (int s = 0; s < n; ++s) dst[s] = (uint16_t)(a[s] + b[s]);
+    }
+    const int total = n + np_;
+    mrg_w.assign(total, 0);
+    mrg_c.assign((size_t)total * n, 0);
+    int li = 0, pi = 0;
+    for (int o = 0; o < total; ++o) {
+      const bool use_leaf =
+          li < n && (pi >= np_ || leaf_w[li] <= pkg_w[pi]);
+      if (use_leaf) {
+        mrg_w[o] = leaf_w[li];
+        mrg_c[(size_t)o * n + li] = 1;
+        ++li;
+      } else {
+        mrg_w[o] = pkg_w[pi];
+        memcpy(&mrg_c[(size_t)o * n], &pkg_c[(size_t)pi * n],
+               (size_t)n * sizeof(uint16_t));
+        ++pi;
+      }
+    }
+    cur_w.swap(mrg_w);
+    cur_c.swap(mrg_c);
   }
-  std::vector<uint8_t> depth(n, 0);
+  const int take_n = 2 * (n - 1);
   for (int i = 0; i < n; ++i) {
-    int d = 0, v = i;
-    while (parent[v] != -1) {
-      v = parent[v];
-      ++d;
-    }
-    depth[i] = (uint8_t)(d > 255 ? 255 : d);
+    int32_t acc = 0;
+    for (int o = 0; o < take_n; ++o) acc += cur_c[(size_t)o * n + i];
+    lens[present[i]] = (uint8_t)acc;
   }
-  // clamp + Kraft repair (lengthen cheapest, then shorten most frequent)
-  std::vector<int> dlen(n);
-  for (int i = 0; i < n; ++i) dlen[i] = std::min<int>(depth[i], max_len);
-  const int64_t target = (int64_t)1 << max_len;
-  int64_t kraft = 0;
-  for (int i = 0; i < n; ++i) kraft += target >> dlen[i];
-  // present[] is frequency-ascending: lengthen from the front
-  while (kraft > target) {
-    bool moved = false;
-    for (int i = 0; i < n && kraft > target; ++i) {
-      if (dlen[i] < max_len) {
-        kraft -= target >> (dlen[i] + 1);
-        ++dlen[i];
-        moved = true;
-      }
-    }
-    if (!moved) break;  // unreachable for n <= 2^max_len
-  }
-  bool changed = true;
-  while (changed && kraft < target) {
-    changed = false;
-    for (int i = n - 1; i >= 0; --i) {  // most frequent first
-      while (dlen[i] > 1 && kraft + (target >> dlen[i]) <= target) {
-        kraft += target >> dlen[i];
-        --dlen[i];
-        changed = true;
-      }
-    }
-  }
-  for (int i = 0; i < n; ++i) lens[present[i]] = (uint8_t)dlen[i];
 }
 
 }  // namespace

@@ -118,14 +118,53 @@ def _limit_lengths(freqs: np.ndarray, depths: np.ndarray, max_len: int) -> np.nd
     return lens.astype(np.uint8)
 
 
+def _package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
+    """Exact optimal length-limited code lengths (package-merge,
+    Larmore–Hirschberg coin collector). Deterministic: leaves sorted by
+    (freq, symbol); on weight ties leaves precede packages and earlier items
+    precede later — the native builder (host_runtime.cpp) mirrors this
+    ordering exactly so both produce identical tables."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    A = freqs.shape[0]
+    lens = np.zeros(A, dtype=np.uint8)
+    present = np.flatnonzero(freqs)
+    n = present.shape[0]
+    if n <= 1:
+        return lens  # absent or zero-bit singleton
+    if n > (1 << max_len):
+        raise ValueError(f"alphabet of {n} symbols cannot fit {max_len}-bit codes")
+    order = np.lexsort((present, freqs[present]))
+    syms = present[order]
+    leaf_w = freqs[syms]
+    leaf_c = np.eye(n, dtype=np.int32)
+    cur_w, cur_c = leaf_w, leaf_c                     # lists[max_len]
+    for _ in range(max_len - 1):
+        m = (cur_w.shape[0] // 2) * 2
+        pkg_w = cur_w[0:m:2] + cur_w[1:m:2]
+        pkg_c = cur_c[0:m:2] + cur_c[1:m:2]
+        w = np.concatenate([leaf_w, pkg_w])
+        flag = np.concatenate([np.zeros(n, np.int8),
+                               np.ones(pkg_w.shape[0], np.int8)])
+        pos = np.concatenate([np.arange(n), np.arange(pkg_w.shape[0])])
+        idx = np.lexsort((pos, flag, w))
+        cur_w = w[idx]
+        cur_c = np.concatenate([leaf_c, pkg_c])[idx]
+    counts = cur_c[: 2 * (n - 1)].sum(axis=0)        # code length per leaf
+    lens[syms] = counts.astype(np.uint8)
+    return lens
+
+
 def build_code_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
-    """Code length per symbol (0 = absent) from a histogram, length-limited.
+    """Code length per symbol (0 = absent) from a histogram: exact optimal
+    length-limited codes via package-merge (the reference's unbounded tree +
+    our earlier greedy Kraft repair are both dominated; same lengths-only
+    serialization, so no format impact).
 
     A singleton alphabet yields all-zero lengths (zero-bit code); use
     `singleton_of` to recover which symbol it is.
     """
     freqs = np.asarray(freqs, dtype=np.int64)
-    return _limit_lengths(freqs, _huffman_depths(freqs), max_len)
+    return _package_merge_lengths(freqs, max_len)
 
 
 def build_code_lengths_batch(freqs: np.ndarray, max_len: int) -> np.ndarray:

@@ -153,6 +153,11 @@ def huffman_lengths(hist: np.ndarray, max_len: int):
         return None
     hist = np.ascontiguousarray(hist, dtype=np.int64)
     K, A = hist.shape
+    n_max = int(np.count_nonzero(hist, axis=1).max()) if K else 0
+    if n_max > (1 << max_len):
+        # mirror the python builder's error (the C ABI has no error channel)
+        raise ValueError(
+            f"alphabet of {n_max} symbols cannot fit {max_len}-bit codes")
     lens = np.empty((K, A), np.uint8)
     singles = np.empty(K, np.int32)
     lib.phyngsc_huffman_lengths(

@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+from phyngsc_tpu.ops import huffman
+
 from phyngsc_tpu.ops.huffman import (
     build_code_lengths,
     build_code_lengths_batch,
@@ -132,3 +134,54 @@ def test_batch_build():
     assert lens.shape == (5, 64)
     for k in range(5):
         np.testing.assert_array_equal(lens[k], build_code_lengths(freqs[k], 12))
+
+
+def test_package_merge_optimal_and_kraft_complete():
+    """build_code_lengths is exact package-merge: Kraft sum exactly 1,
+    never worse than the greedy Kraft repair it replaced, and equal to
+    unbounded Huffman cost whenever the cap is slack."""
+    rng = np.random.default_rng(42)
+    beaten = 0
+    for _ in range(80):
+        A = int(rng.integers(3, 257))
+        lo = 2
+        n = int(rng.integers(2, min(A, 180)))
+        f = np.zeros(A, np.int64)
+        idx = rng.choice(A, size=n, replace=False)
+        f[idx] = np.maximum(rng.zipf(1.5, size=n).astype(np.int64), 1)
+        lo = max(2, int(np.ceil(np.log2(n))))
+        L = int(rng.integers(lo, 13)) if lo < 13 else 12
+        pm = huffman.build_code_lengths(f, L)
+        assert int(pm.max()) <= L
+        kraft = sum(1 << (L - int(l)) for l in pm[pm > 0])
+        assert kraft == (1 << L)
+        greedy = huffman._limit_lengths(f, huffman._huffman_depths(f), L)
+        cost_pm = int((f * pm).sum())
+        assert cost_pm <= int((f * greedy).sum())
+        if cost_pm < int((f * greedy).sum()):
+            beaten += 1
+        d = huffman._huffman_depths(f)
+        if int(d.max()) <= L:
+            assert cost_pm == int((f * d).sum())
+    assert beaten > 0  # the exactness is observable, not theoretical
+
+
+def test_package_merge_native_matches_python():
+    from phyngsc_tpu.utils import native
+
+    rng = np.random.default_rng(5)
+    f = np.zeros((6, 256), np.int64)
+    for k in range(6):
+        n = int(rng.integers(0, 250))
+        if n:
+            idx = rng.choice(256, size=n, replace=False)
+            f[k, idx] = np.maximum(rng.zipf(1.4, size=n).astype(np.int64), 1)
+    out = native.huffman_lengths(f, 12)
+    if out is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    nat_lens, nat_sing = out
+    np.testing.assert_array_equal(
+        nat_lens, huffman.build_code_lengths_batch(f, 12))
+    np.testing.assert_array_equal(nat_sing, huffman.singleton_of_batch(f))
