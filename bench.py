@@ -45,10 +45,12 @@ def main() -> int:
     rec_bytes = 208 if style == "SRR" else 121
 
     n_records = int(mb * 1e6 / rec_bytes)
-    # uniform device batches: split by record count, not bytes
+    # uniform device batches: split by record count, not bytes. Bigger
+    # sub-blocks amortize the per-fetch relay latency (BENCH_SUBREC knob).
+    sub_rec = int(os.environ.get("BENCH_SUBREC", str(1 << 16)))
     cfg = CodecConfig(
         subblock_input_bytes=1 << 30,
-        max_records_per_subblock=1 << 16,
+        max_records_per_subblock=sub_rec,
         records_per_substream=64,
     )
     t0 = time.perf_counter()

@@ -50,9 +50,12 @@ def compress_file_distributed(in_path: str, out_path: str,
     pid = jax.process_index()
     n_proc = jax.process_count()
 
-    with open(in_path, "rb") as f:
-        data = f.read()
-    buf = np.frombuffer(data, dtype=np.uint8)
+    # memory-map instead of reading: each process pages in only its own
+    # working region (± the boundary-alignment windows partition_regions
+    # scans) — the File_read_at sharding of phyNGSC.cpp:249 via the page
+    # cache, so a 100 GB input costs each host ~1/N of it
+    size = os.path.getsize(in_path)
+    buf = np.memmap(in_path, np.uint8, "r") if size else np.zeros(0, np.uint8)
     regions = partition_regions(buf, n_proc, cfg)
     reg = regions[pid]
 
@@ -81,7 +84,7 @@ def compress_file_distributed(in_path: str, out_path: str,
         # create + size the file, then let everyone pwrite
         cbo = [w for w in range(n_proc) for _ in range(int(sizes[w, 1]))]
         foot = footermod.Footer(
-            fastq_size=len(data), block_size=cfg.block_size,
+            fastq_size=size, block_size=cfg.block_size,
             n_writers=n_proc,
             overlaps=[int(x) for x in sizes[:, 3]],
             writer_block_counts=[int(x) for x in sizes[:, 1]],
