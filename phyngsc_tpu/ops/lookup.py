@@ -36,6 +36,21 @@ def fuse_tables(codes, lens):
     return (lens.astype(jnp.int32) << CODE_BITS) | codes.astype(jnp.int32)
 
 
+def _lookup_variant() -> str:
+    """Kernel variant for the TPU path (PHYNGSC_LOOKUP overrides):
+
+    - "bf16x2": batched one-hot, two bf16 dots (lo/hi 8-bit planes)
+    - "f32":    batched one-hot, ONE f32 dot (entries < 2^16 exact in f32)
+    - "int8":   batched one-hot, ONE int8 dot, 3 planes (6/6/4 bits)
+    - "flat":   flat (R*L, A) @ (A, 2L) bf16 dot — proper MXU N-dim — then a
+                fused diagonal mask-reduce picks column p for row (r, p)
+    All variants are bit-exact (verified in tests against the gather path).
+    """
+    import os
+
+    return os.environ.get("PHYNGSC_LOOKUP", "bf16x2")
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def fused_lookup(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
                  chunk: int = 4096) -> jnp.ndarray:
@@ -50,23 +65,70 @@ def fused_lookup(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
     if jax.default_backend() != "tpu":
         pos = jnp.arange(L, dtype=jnp.int32)[None, :]
         return fused_tab[pos, symbols.astype(jnp.int32)]
-    lo = (fused_tab & 0xFF).astype(jnp.bfloat16)
-    hi = ((fused_tab >> 8) & 0xFFFF).astype(jnp.bfloat16)  # < 2^9 for 16-bit fused
+    variant = _lookup_variant()
 
     pad = (-R) % chunk
     sym = jnp.pad(symbols.astype(jnp.int32), ((0, pad), (0, 0)))
     ids = jnp.arange(A, dtype=jnp.int32)
 
-    def step(carry, s_ch):  # s_ch (chunk, L)
-        oh = (s_ch[:, :, None] == ids[None, None, :]).astype(jnp.bfloat16)
-        # batch dim: position (axis 1 of oh / axis 0 of tab)
-        vlo = jax.lax.dot_general(
-            oh, lo, (((2,), (1,)), ((1,), (0,))),
-            preferred_element_type=jnp.float32)
-        vhi = jax.lax.dot_general(
-            oh, hi, (((2,), (1,)), ((1,), (0,))),
-            preferred_element_type=jnp.float32)
-        return carry, (vhi.astype(jnp.int32) << 8) | vlo.astype(jnp.int32)
+    if variant == "flat":
+        lo = (fused_tab & 0xFF).astype(jnp.bfloat16)
+        hi = ((fused_tab >> 8) & 0xFF).astype(jnp.bfloat16)
+        tab2 = jnp.concatenate([lo, hi], axis=0).T      # (A, 2L)
+        eye = (jnp.arange(L, dtype=jnp.int32)[:, None]
+               == jnp.arange(L, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+
+        def step(carry, s_ch):
+            ch = s_ch.shape[0]
+            oh = (s_ch.reshape(ch * L, 1) == ids[None, :]).astype(jnp.bfloat16)
+            full = jax.lax.dot_general(
+                oh, tab2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).reshape(ch, L, 2 * L)
+            vlo = jnp.sum(full[..., :L] * eye[None], axis=-1)
+            vhi = jnp.sum(full[..., L:] * eye[None], axis=-1)
+            return carry, vlo.astype(jnp.int32) | (vhi.astype(jnp.int32) << 8)
+
+        n_ch = sym.shape[0] // chunk
+        _, fused = jax.lax.scan(step, 0, sym.reshape(n_ch, chunk, L))
+        return fused.reshape(-1, L)[:R]
+
+    if variant == "f32":
+        tab = fused_tab.astype(jnp.float32)  # entries < 2^16: exact
+
+        def step(carry, s_ch):
+            oh = (s_ch[:, :, None] == ids[None, None, :]).astype(jnp.float32)
+            v = jax.lax.dot_general(
+                oh, tab, (((2,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.float32)
+            return carry, v.astype(jnp.int32)
+
+    elif variant == "int8":
+        p0 = (fused_tab & 0x3F).astype(jnp.int8)
+        p1 = ((fused_tab >> 6) & 0x3F).astype(jnp.int8)
+        p2 = ((fused_tab >> 12) & 0x0F).astype(jnp.int8)
+        tab3 = jnp.stack([p0, p1, p2], axis=-1)          # (L, A, 3)
+
+        def step(carry, s_ch):
+            oh = (s_ch[:, :, None] == ids[None, None, :]).astype(jnp.int8)
+            v = jax.lax.dot_general(
+                oh, tab3, (((2,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.int32)
+            return carry, v[..., 0] | (v[..., 1] << 6) | (v[..., 2] << 12)
+
+    else:  # bf16x2
+        lo = (fused_tab & 0xFF).astype(jnp.bfloat16)
+        hi = ((fused_tab >> 8) & 0xFFFF).astype(jnp.bfloat16)  # < 2^9
+
+        def step(carry, s_ch):  # s_ch (chunk, L)
+            oh = (s_ch[:, :, None] == ids[None, None, :]).astype(jnp.bfloat16)
+            # batch dim: position (axis 1 of oh / axis 0 of tab)
+            vlo = jax.lax.dot_general(
+                oh, lo, (((2,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.float32)
+            vhi = jax.lax.dot_general(
+                oh, hi, (((2,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.float32)
+            return carry, (vhi.astype(jnp.int32) << 8) | vlo.astype(jnp.int32)
 
     n_ch = sym.shape[0] // chunk
     _, fused = jax.lax.scan(step, 0, sym.reshape(n_ch, chunk, L))
