@@ -800,7 +800,10 @@ def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
     put_uint_array(bw, sub, w)
 
 
-def read_header(br: BitReader, R: int = 0):
+def read_header(br: BitReader, R: int):
+    """R (the sub-block's record count, from the meta section) is required:
+    the NUM_BLOCK width-escape derives its per-32-record block count from R,
+    and R == 0 with records present would silently desync the bit stream."""
     F = br.get_bits(16)
     seps = np.array([br.get_byte() for _ in range(max(F - 1, 0))], np.uint8)
     fields = []

@@ -36,19 +36,25 @@ def fuse_tables(codes, lens):
     return (lens.astype(jnp.int32) << CODE_BITS) | codes.astype(jnp.int32)
 
 
-def _lookup_variant() -> str:
-    """Kernel variant for the TPU path (PHYNGSC_LOOKUP overrides):
-
-    - "bf16x2": batched one-hot, two bf16 dots (lo/hi 8-bit planes)
-    - "f32":    batched one-hot, ONE f32 dot (entries < 2^16 exact in f32)
-    - "int8":   batched one-hot, ONE int8 dot, 3 planes (6/6/4 bits)
-    - "flat":   flat (R*L, A) @ (A, 2L) bf16 dot — proper MXU N-dim — then a
-                fused diagonal mask-reduce picks column p for row (r, p)
-    All variants are bit-exact (verified in tests against the gather path).
-    """
+def _resolve_variant() -> str:
     import os
 
     return os.environ.get("PHYNGSC_LOOKUP", "bf16x2")
+
+
+#: Kernel variant for the TPU path, resolved ONCE at import (fused_lookup is
+#: traced inside larger jits, so a later env change could never reach
+#: already-compiled shapes anyway — resolving at import makes the semantics
+#: explicit; A/B experiments must set PHYNGSC_LOOKUP before importing, or
+#: assign lookup.VARIANT before the first trace):
+#:
+#: - "bf16x2": batched one-hot, two bf16 dots (lo/hi 8-bit planes)
+#: - "f32":    batched one-hot, ONE f32 dot (entries < 2^16 exact in f32)
+#: - "int8":   batched one-hot, ONE int8 dot, 3 planes (6/6/4 bits)
+#: - "flat":   flat (R*L, A) @ (A, 2L) bf16 dot — proper MXU N-dim — then a
+#:             fused diagonal mask-reduce picks column p for row (r, p)
+#: All variants are bit-exact (verified in tests against the gather path).
+VARIANT = _resolve_variant()
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -65,7 +71,7 @@ def fused_lookup(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
     if jax.default_backend() != "tpu":
         pos = jnp.arange(L, dtype=jnp.int32)[None, :]
         return fused_tab[pos, symbols.astype(jnp.int32)]
-    variant = _lookup_variant()
+    variant = VARIANT
 
     pad = (-R) % chunk
     sym = jnp.pad(symbols.astype(jnp.int32), ((0, pad), (0, 0)))

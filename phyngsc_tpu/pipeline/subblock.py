@@ -533,13 +533,16 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
         return out
 
     q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)))
-    pair_bits = quality.pair_lut_bits(q_tables) if (not variable and R) else 0
-    if pair_bits:
+    pplan = quality.pair_plan(q_tables, Lt) if (not variable and R) else None
+    if pplan is not None:
         # uniform-length fast path: two symbols per LUT gather (the walk is
-        # gather-bound, so this is ~2x)
+        # gather-bound, so this is ~2x); tables deduped/cached in pair_plan
+        luts2, pair_ids, half_ids, pair_bits = pplan
+        pair_vec, half_vec = quality.pair_step_vectors(
+            pair_ids, half_ids, Lt, (G * L) // 2)
         qual_t = quality.decode_device_pairs(
-            jnp.array(q_words), jnp.array(q_sub), lens_j,
-            jnp.array(quality.pair_luts(q_tables, Lt, pair_bits)),
+            jnp.array(q_words), jnp.array(q_sub), lens_j, luts2,
+            jnp.array(pair_vec), jnp.array(half_vec),
             L, Lt, G, pair_bits,
         )
     else:

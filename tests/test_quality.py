@@ -115,8 +115,13 @@ def test_pair_decode_matches_single_walk():
     from phyngsc_tpu.models import quality
     from phyngsc_tpu.utils.shapes import bucket_length
 
+    import os
+
     cfg = CodecConfig()
     rng = np.random.default_rng(11)
+    # raise the LUT transfer budget so the 16-bit pair case (Lt=36, 36
+    # distinct trees) is exercised rather than budget-rejected
+    os.environ["PHYNGSC_PAIRLUT_BUDGET_MB"] = "64"
     for Lt, R_real, G in ((7, 37, 8), (36, 120, 16), (12, 33, 4)):
         L = bucket_length(Lt)
         Rp = ((R_real + G - 1) // G) * G
@@ -133,10 +138,48 @@ def test_pair_decode_matches_single_walk():
         single = quality.decode_device(
             jnp.asarray(words), jnp.asarray(sub), jnp.array(lens),
             jnp.array(tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len)
-        pb = quality.pair_lut_bits(tables)
-        assert pb > 0
+        pplan = quality.pair_plan(tables, Lt)
+        assert pplan is not None
+        luts2, pair_ids, half_ids, pb = pplan
+        pair_vec, half_vec = quality.pair_step_vectors(
+            pair_ids, half_ids, Lt, (G * L) // 2)
         paired = quality.decode_device_pairs(
             jnp.asarray(words), jnp.asarray(sub), jnp.array(lens),
-            jnp.array(quality.pair_luts(tables, Lt, pb)), L, Lt, G, pb)
+            luts2, jnp.array(pair_vec), jnp.array(half_vec), L, Lt, G, pb)
         np.testing.assert_array_equal(np.asarray(paired), np.asarray(single))
         np.testing.assert_array_equal(np.asarray(paired), qual)
+    del os.environ["PHYNGSC_PAIRLUT_BUDGET_MB"]
+
+
+def test_pair_plan_dedup_and_cache():
+    """pair_plan dedupes identical trees (one pair table per distinct
+    adjacent pair, not per position), caches across calls, and falls back
+    to None when the deduped tables exceed the transfer budget."""
+    import os
+
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.models import quality
+
+    cfg = CodecConfig()
+    rng = np.random.default_rng(3)
+    Lt = 64
+    # identical distribution at every position → one distinct tree
+    # (small alphabet keeps codes short enough for the pair path)
+    counts = np.tile(rng.integers(1, 1000, size=(1, 256)), (Lt, 1))
+    counts[:, 16:] = 0
+    tables = quality.build_tables(counts, cfg)
+    plan = quality.pair_plan(tables, Lt)
+    assert plan is not None
+    luts2, pair_ids, half_ids, pb = plan
+    # 1 pair table + 1 half table + zero, bucketed to 8
+    assert luts2.shape[0] == 8
+    assert int(pair_ids.max()) == 0 and int(half_ids.max()) == 1
+    # cache: same tables return the identical (is) plan object
+    assert quality.pair_plan(tables, Lt) is plan
+    # budget fallback: force a tiny budget → None
+    os.environ["PHYNGSC_PAIRLUT_BUDGET_MB"] = "0.0001"
+    try:
+        quality._PAIR_CACHE.clear()
+        assert quality.pair_plan(tables, Lt) is None
+    finally:
+        del os.environ["PHYNGSC_PAIRLUT_BUDGET_MB"]

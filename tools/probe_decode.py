@@ -48,13 +48,14 @@ def main():
     single = bench("decode single walk (uniform)", qmod.decode_device,
                    wj, sj, lens, jnp.array(tables.luts(cfg.max_code_len)),
                    L, G, cfg.max_code_len, L)
-    pb = qmod.pair_lut_bits(tables)
     t0 = time.perf_counter()
-    luts2 = qmod.pair_luts(tables, L, pb)
-    print(f"pair_luts host build: {(time.perf_counter()-t0)*1e3:.1f} ms "
-          f"(P={luts2.shape[0]}, W={pb})")
+    luts2, pair_ids, half_ids, pb = qmod.pair_plan(tables, L)
+    print(f"pair_plan host build: {(time.perf_counter()-t0)*1e3:.1f} ms "
+          f"(U={luts2.shape[0]}, W={pb})")
+    pv, hv = qmod.pair_step_vectors(pair_ids, half_ids, L, (G * L) // 2)
     paired = bench("decode pair walk", qmod.decode_device_pairs,
-                   wj, sj, lens, jnp.array(luts2), L, L, G, pb)
+                   wj, sj, lens, luts2, jnp.array(pv), jnp.array(hv),
+                   L, L, G, pb)
     ok = np.array_equal(np.asarray(single), np.asarray(paired))
     print("match:", ok, "| correct:", np.array_equal(np.asarray(paired), qual))
 
