@@ -27,6 +27,11 @@ class CodecConfig:
     #: (reference: fixed 500 B, phyNGSC.cpp:48 — here configurable; it caps
     #: the max record size at region boundaries).
     region_overlap: int = 4096
+    #: Record-index window: each writer region is indexed in windows of at
+    #: most this many bytes (clamped up to subblock_input_bytes), so index
+    #: memory is O(window) — not O(region) — and a 100 GB input streams
+    #: (the reference's 8 MiB read loop, phyNGSC.cpp:249, made tunable).
+    index_window_bytes: int = 64 << 20
 
     # --- entropy coding -----------------------------------------------------
     #: Maximum Huffman code length. Length-limited codes make device encode a
@@ -73,6 +78,8 @@ class CodecConfig:
             raise ValueError("block_size too small for header framing")
         if self.records_per_substream < 1:
             raise ValueError("records_per_substream must be >= 1")
+        if self.index_window_bytes < (1 << 16):
+            raise ValueError("index_window_bytes must be >= 64 KiB")
 
 
 DEFAULT_CONFIG = CodecConfig()

@@ -55,6 +55,59 @@ def _emit(writer_id: int, entries: List[bytes], first_is_tail: bool,
     return Block(writer_id, body)
 
 
+class BlockAssembler:
+    """Incremental block framing: feed sub-blocks with add(), collect
+    completed fixed-size blocks as they fill, finish() for the final short
+    block. Streams — holds at most one partial block, so drivers can write
+    each block out the moment it completes (the reference writes each 8 MiB
+    block inside its region loop, phyNGSC.cpp:875; this is the same bounded
+    memory behavior with deterministic placement). pack_blocks() is the
+    collect-everything wrapper; both produce identical bytes."""
+
+    def __init__(self, writer_id: int, block_size: int):
+        self.writer_id = writer_id
+        self.block_size = block_size
+        self._entries: List[bytes] = []
+        self._used = header_size(0)
+        self._first_is_tail = False
+        self._last_is_head = False
+        self.n_blocks = 0
+
+    def _close(self, pad: bool) -> Block:
+        b = _emit(self.writer_id, self._entries, self._first_is_tail,
+                  self._last_is_head, self.block_size, pad)
+        self._entries = []
+        self._used = header_size(0)
+        self._first_is_tail = self._last_is_head
+        self._last_is_head = False
+        self.n_blocks += 1
+        return b
+
+    def add(self, subblock: bytes) -> Iterator[Block]:
+        """Feed one compressed sub-block; yields any blocks that filled."""
+        data = subblock
+        while True:
+            room = self.block_size - self._used - 4  # 4 = entry size field
+            if room <= 0 or len(self._entries) >= MAX_ENTRIES:
+                yield self._close(pad=True)
+                continue
+            if len(data) <= room:
+                self._entries.append(data)
+                self._used += 4 + len(data)
+                return
+            self._entries.append(data[:room])
+            self._used += 4 + room
+            data = data[room:]
+            self._last_is_head = True
+            yield self._close(pad=False)  # emits exactly block_size
+
+    def finish(self) -> Iterator[Block]:
+        """Emit the final partial block (always at least one block per
+        writer, even when no sub-blocks were added)."""
+        if self._entries or not self.n_blocks:
+            yield self._close(pad=False)
+
+
 def pack_blocks(writer_id: int, subblocks: Sequence[bytes],
                 block_size: int) -> List[Block]:
     """Frame a writer's compressed sub-blocks into fixed-size blocks.
@@ -63,40 +116,11 @@ def pack_blocks(writer_id: int, subblocks: Sequence[bytes],
     the remaining space are split across consecutive blocks (possibly more
     than two for sub-blocks larger than a whole block).
     """
+    asm = BlockAssembler(writer_id, block_size)
     blocks: List[Block] = []
-    entries: List[bytes] = []
-    used = header_size(0)
-    first_is_tail = False
-    last_is_head = False
-
-    def close(pad: bool) -> None:
-        nonlocal entries, used, first_is_tail, last_is_head
-        blocks.append(
-            _emit(writer_id, entries, first_is_tail, last_is_head, block_size, pad)
-        )
-        entries = []
-        used = header_size(0)
-        first_is_tail = last_is_head
-        last_is_head = False
-
     for sb in subblocks:
-        data = sb
-        while True:
-            room = block_size - used - 4  # 4 = this entry's size field
-            if room <= 0 or len(entries) >= MAX_ENTRIES:
-                close(pad=True)
-                continue
-            if len(data) <= room:
-                entries.append(data)
-                used += 4 + len(data)
-                break
-            entries.append(data[:room])
-            used += 4 + room
-            data = data[room:]
-            last_is_head = True
-            close(pad=False)  # close() emits exactly block_size here
-    if entries or not blocks:
-        close(pad=False)
+        blocks.extend(asm.add(sb))
+    blocks.extend(asm.finish())
     return blocks
 
 

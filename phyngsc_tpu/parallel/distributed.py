@@ -26,16 +26,15 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.container import block as blockmod
 from phyngsc_tpu.container import footer as footermod
-from phyngsc_tpu.parallel.partition import partition_regions, split_subblocks
+from phyngsc_tpu.parallel.partition import partition_regions
 from phyngsc_tpu.pipeline import subblock as sbmod
-from phyngsc_tpu.utils.fastq import index_records
 from phyngsc_tpu.utils.logging import info
 
 
@@ -59,22 +58,38 @@ def compress_file_distributed(in_path: str, out_path: str,
     regions = partition_regions(buf, n_proc, cfg)
     reg = regions[pid]
 
-    payloads: List[bytes] = []
-    if reg.end > reg.start:
-        idx = index_records(buf[reg.start : reg.end])
-        for name in ("title_start", "title_end", "seq_start", "seq_end",
-                     "qual_start", "qual_end"):
-            setattr(idx, name, getattr(idx, name) + reg.start)
-        rec_sizes = (idx.qual_end + 1 - idx.title_start).astype(np.int64)
-        for sl in split_subblocks(rec_sizes, cfg):
-            payloads.append(sbmod.encode_subblock(buf, idx.slice(sl.start, sl.stop), cfg))
-    blocks = blockmod.pack_blocks(pid, payloads, cfg.block_size)
-    my_bytes = sum(len(b.payload) for b in blocks)
+    # blocks spool to a local temp file as they fill (bounded memory — the
+    # final offset isn't known until every process's total is gathered, so
+    # the spool stands in for the reference's shared file pointer; RAM stays
+    # O(pipeline sub-block buffers), matching phyNGSC.cpp:875's streaming)
+    spool_path = f"{out_path}.w{pid}.spool"
+    n_blocks = 0
+    last_block_size = 0
+    my_bytes = 0
+    with open(spool_path, "wb") as spool:
+        asm = blockmod.BlockAssembler(pid, cfg.block_size)
+
+        def _emit(b: blockmod.Block) -> None:
+            nonlocal n_blocks, last_block_size, my_bytes
+            n_blocks += 1
+            last_block_size = len(b.payload)
+            my_bytes += len(b.payload)
+            spool.write(b.payload)
+
+        from phyngsc_tpu.pipeline.compress import iter_subblock_tasks
+
+        # windowed indexing (O(window) memory) — same iterator as the
+        # single-host driver, restricted to this process's region
+        for _, idx_slice in iter_subblock_tasks(buf, [reg], cfg):
+            payload = sbmod.encode_subblock(buf, idx_slice, cfg)
+            for b in asm.add(payload):
+                _emit(b)
+        for b in asm.finish():
+            _emit(b)
 
     # --- the offset protocol (replaces C13's timestamps) -------------------
     sizes = multihost_utils.process_allgather(
-        np.array([my_bytes, len(blocks),
-                  len(blocks[-1].payload) if blocks else 0,
+        np.array([my_bytes, n_blocks, last_block_size,
                   reg.overlap_used], dtype=np.int64)
     ).reshape(n_proc, 4)
     my_offset = int(np.sum(sizes[:pid, 0]))
@@ -100,17 +115,23 @@ def compress_file_distributed(in_path: str, out_path: str,
             f.write(footer_bytes)
     multihost_utils.sync_global_devices("phyngsc_file_created")
 
+    # copy the spool into place at the agreed offset (chunked — O(1) RAM)
     fd = os.open(out_path, os.O_WRONLY)
     try:
         pos = my_offset
-        for b in blocks:
-            os.pwrite(fd, b.payload, pos)
-            pos += len(b.payload)
+        with open(spool_path, "rb") as spool:
+            while True:
+                chunk = spool.read(8 << 20)
+                if not chunk:
+                    break
+                os.pwrite(fd, chunk, pos)
+                pos += len(chunk)
     finally:
         os.close(fd)
+    os.unlink(spool_path)
     multihost_utils.sync_global_devices("phyngsc_blocks_written")
     info("process %d/%d wrote %d blocks (%d bytes) at offset %d",
-         pid, n_proc, len(blocks), my_bytes, my_offset)
+         pid, n_proc, n_blocks, my_bytes, my_offset)
 
 
 def main(argv=None) -> int:

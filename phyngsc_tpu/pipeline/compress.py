@@ -36,6 +36,41 @@ class CompressStats:
     output_bytes: int
 
 
+def iter_subblock_tasks(buf: np.ndarray, regions, cfg: CodecConfig):
+    """Lazily yield (writer_pos, absolute RecordIndex slice) tasks.
+
+    Each region is indexed in windows of cfg.index_window_bytes (at least one
+    sub-block's worth), so the newline scan and offset arrays stay O(window)
+    regardless of input size — the streaming equivalent of the reference's
+    8 MiB read-and-index loop (phyNGSC.cpp:249-331). Windows always begin at
+    a record boundary; a record straddling the window end is re-indexed in
+    the next window."""
+    win = max(cfg.index_window_bytes, cfg.subblock_input_bytes)
+    for w, reg in enumerate(regions):
+        if reg.end <= reg.start:
+            continue
+        pos = reg.start
+        while pos < reg.end:
+            hi = min(pos + win, reg.end)
+            idx = index_records(buf[pos:hi])
+            if idx.n_records == 0:
+                if hi >= reg.end:
+                    break  # trailing bytes with no complete record
+                from phyngsc_tpu.utils.fastq import FastqFormatError
+
+                raise FastqFormatError(
+                    f"no complete record in a {win}-byte index window at "
+                    f"offset {pos}: record larger than index_window_bytes")
+            consumed = idx.end_offset  # window-relative
+            for name in ("title_start", "title_end", "seq_start", "seq_end",
+                         "qual_start", "qual_end"):
+                setattr(idx, name, getattr(idx, name) + pos)
+            rec_sizes = (idx.qual_end + 1 - idx.title_start).astype(np.int64)
+            for sl in split_subblocks(rec_sizes, cfg):
+                yield w, idx.slice(sl.start, sl.stop)
+            pos += consumed
+
+
 def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
                    n_writers: int = 1, stats_out: Optional[list] = None) -> bytes:
     return compress_array(np.frombuffer(data, dtype=np.uint8), cfg, n_writers,
@@ -44,7 +79,23 @@ def compress_bytes(data: bytes, cfg: Optional[CodecConfig] = None,
 
 def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
                    n_writers: int = 1, stats_out: Optional[list] = None) -> bytes:
-    """Accepts any uint8 array — including an np.memmap, so multi-GB inputs
+    import io
+
+    sink = io.BytesIO()
+    compress_to_file(buf, sink, cfg, n_writers, stats_out)
+    return sink.getvalue()
+
+
+def compress_to_file(buf: np.ndarray, out, cfg: Optional[CodecConfig] = None,
+                     n_writers: int = 1, stats_out: Optional[list] = None
+                     ) -> None:
+    """Streaming driver: writes each fixed-size block to `out` (any
+    .write()-able) the moment it fills, exactly the reference's
+    write-as-you-go behavior (phyNGSC.cpp:875) with deterministic placement.
+    Memory stays O(pipeline_depth sub-block buffers + one partial block),
+    independent of input size.
+
+    Accepts any uint8 array — including an np.memmap, so multi-GB inputs
     stream from the page cache instead of loading resident (the reference
     reads 8 MiB windows, phyNGSC.cpp:249; the memmap gives the same
     incremental behavior with kernel readahead)."""
@@ -57,25 +108,45 @@ def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
 
         codec = ShardedSubblockCodec(make_mesh(cfg.data_shards, 1, cfg=cfg), cfg)
 
-    # enumerate every (writer, sub-block record range) task up front, then run
-    # the three encode stages software-pipelined across tasks: stage A of
-    # task i+2 and stage B of task i+1 overlap the async device work and
-    # device→host fetches of task i (the TPU analogue of the reference's
-    # read/compress/write overlap across OpenMP regions).
-    tasks = []  # (writer_pos, RecordIndex slice)
+    # (writer, sub-block record range) tasks stream lazily — regions are
+    # indexed in bounded windows and only pipeline_depth tasks are in flight,
+    # so index memory is O(window), not O(input). The three encode stages
+    # run software-pipelined across tasks: stage A of task i+2 and stage B
+    # of task i+1 overlap the async device work and device→host fetches of
+    # task i (the TPU analogue of the reference's read/compress/write
+    # overlap across OpenMP regions).
     t_start = time.perf_counter()
-    for w, reg in enumerate(regions):
-        if reg.end <= reg.start:
-            continue
-        idx = index_records(buf[reg.start : reg.end])
-        for name in ("title_start", "title_end", "seq_start", "seq_end",
-                     "qual_start", "qual_end"):
-            setattr(idx, name, getattr(idx, name) + reg.start)
-        rec_sizes = (idx.qual_end + 1 - idx.title_start).astype(np.int64)
-        for sl in split_subblocks(rec_sizes, cfg):
-            tasks.append((w, idx.slice(sl.start, sl.stop)))
+    tasks = iter_subblock_tasks(buf, regions, cfg)
+    n_tasks = 0
 
-    sub_payloads: List[List[bytes]] = [[] for _ in regions]
+    # per-writer incremental framing + footer bookkeeping; completed blocks
+    # go straight to `out` (tasks run writer-major, so blocks land in the
+    # same deterministic order the footer's CBO records)
+    assemblers = [blockmod.BlockAssembler(reg.writer_id, cfg.block_size)
+                  for reg in regions]
+    finished = [False] * len(regions)
+    cbo: List[int] = []
+    last_block_sizes = [0] * len(regions)
+    n_subblocks = [0] * len(regions)
+    out_bytes = [0] * len(regions)
+
+    def _write_block(b: blockmod.Block) -> None:
+        cbo.append(b.writer_id)
+        last_block_sizes[b.writer_id] = len(b.payload)
+        out_bytes[b.writer_id] += len(b.payload)
+        out.write(b.payload)
+
+    def _sink(w: int, payload: bytes) -> None:
+        n_subblocks[w] += 1
+        for b in assemblers[w].add(payload):
+            _write_block(b)
+
+    def _finish_writer(w: int) -> None:
+        if not finished[w]:
+            finished[w] = True
+            for b in assemblers[w].finish():
+                _write_block(b)
+
     writer_seconds = [0.0] * len(regions)
     a_q: List = []  # [(writer_pos, _StageA)]
     b_q: List = []  # [(writer_pos, _StageB)]
@@ -104,10 +175,15 @@ def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
 
         def _advance_c():
             w, b = b_q.pop(0)
-            sub_payloads[w].append(_timed("stage_c", w, lambda: sbmod.stage_c(b, cfg)))
+            # a payload for writer w means earlier writers are done — emit
+            # their final partial blocks first, keeping writer-major order
+            for v in range(w):
+                _finish_writer(v)
+            _sink(w, _timed("stage_c", w, lambda: sbmod.stage_c(b, cfg)))
 
         depth = max(cfg.pipeline_depth, 1)
         for w, idx_slice in tasks:
+            n_tasks += 1
             a_q.append((w, _timed("stage_a", w, lambda: sbmod.stage_a(
                 buf, idx_slice, cfg, codec, executor))))
             if len(a_q) >= depth:
@@ -118,57 +194,47 @@ def compress_array(buf: np.ndarray, cfg: Optional[CodecConfig] = None,
             _advance_b()
         while b_q:
             _advance_c()
+    for w in range(len(regions)):
+        _finish_writer(w)
     total_s = time.perf_counter() - t_start
     if timing is not None:
         from phyngsc_tpu.utils.logging import info
 
         parts = " ".join(f"{k}={v:.2f}s" for k, v in sorted(timing.items()))
-        info("pipeline timing: %s total=%.2fs tasks=%d", parts, total_s, len(tasks))
+        info("pipeline timing: %s total=%.2fs tasks=%d", parts, total_s, n_tasks)
 
-    per_writer_blocks: List[List[blockmod.Block]] = []
-    n_subblocks_total = 0
-    for w, reg in enumerate(regions):
-        blocks = blockmod.pack_blocks(reg.writer_id, sub_payloads[w], cfg.block_size)
-        per_writer_blocks.append(blocks)
-        n_subblocks_total += len(sub_payloads[w])
-        if stats_out is not None:
-            in_bytes = reg.end - reg.start
+    if stats_out is not None:
+        for w, reg in enumerate(regions):
             stats_out.append(CompressStats(
                 writer_id=reg.writer_id,
                 seconds=writer_seconds[w],
-                n_blocks=len(blocks),
-                n_subblocks=len(sub_payloads[w]),
-                input_bytes=in_bytes,
-                output_bytes=sum(len(b.payload) for b in blocks),
+                n_blocks=assemblers[w].n_blocks,
+                n_subblocks=n_subblocks[w],
+                input_bytes=reg.end - reg.start,
+                output_bytes=out_bytes[w],
             ))
 
-    # deterministic placement: writer-major order (the offset prefix-sum over
-    # a single host degenerates to concatenation; multi-host uses
-    # parallel/offsets.py to agree on the same order globally)
-    cbo: List[int] = []
-    out = bytearray()
-    for blocks in per_writer_blocks:
-        for b in blocks:
-            cbo.append(b.writer_id)
-            out += b.payload
     foot = footermod.Footer(
         fastq_size=int(buf.shape[0]),
         block_size=cfg.block_size,
         n_writers=n_writers,
         overlaps=[r.overlap_used for r in regions],
-        writer_block_counts=[len(b) for b in per_writer_blocks],
-        last_block_sizes=[len(b[-1].payload) if b else 0 for b in per_writer_blocks],
+        writer_block_counts=[a.n_blocks for a in assemblers],
+        last_block_sizes=last_block_sizes,
         cbo=cbo,
         records_per_substream=cfg.records_per_substream,
         max_code_len=cfg.max_code_len,
     )
-    out += footermod.write_footer(foot)
-    return bytes(out)
+    out.write(footermod.write_footer(foot))
 
 
 def compress_file(in_path: str, out_path: str, cfg: Optional[CodecConfig] = None,
                   n_writers: int = 1, stats_out: Optional[list] = None) -> None:
-    buf = np.memmap(in_path, dtype=np.uint8, mode="r")
-    out = compress_array(buf, cfg, n_writers, stats_out)
+    """Bounded-memory file-to-file compression: memmapped input, blocks
+    written as they fill — RSS is flat in the input size."""
+    import os
+
+    buf = (np.memmap(in_path, dtype=np.uint8, mode="r")
+           if os.path.getsize(in_path) else np.zeros(0, np.uint8))
     with open(out_path, "wb") as f:
-        f.write(out)
+        compress_to_file(buf, f, cfg, n_writers, stats_out)

@@ -2,12 +2,15 @@
 Makefile:7 declares phyNGSD but phyNGSD.cpp is absent). Reconstructed from
 the container spec: read the trailing footer, walk blocks in file order using
 the per-writer last-block sizes, stitch split sub-blocks, decode each
-sub-block (quality before DNA), and emit writer regions in writer order —
-which restores the exact original byte stream because regions tile the input
-(parallel/partition.py)."""
+sub-block (quality before DNA), and place each decoded chunk at its absolute
+output offset — writer w's region start is recoverable from the footer
+(nominal boundary + recorded overlap, the inverse of parallel/partition.py),
+and chunks within a writer are sequential, so the driver streams with
+bounded memory instead of accumulating the whole FASTQ."""
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -18,13 +21,30 @@ from phyngsc_tpu.container import footer as footermod
 from phyngsc_tpu.pipeline import subblock as sbmod
 
 
-def decompress_bytes(data, cfg: Optional[CodecConfig] = None) -> bytes:
-    """`data` is bytes or any buffer (np.memmap works — blocks are sliced
-    lazily, so large containers stream from the page cache)."""
+def writer_output_starts(foot: footermod.Footer) -> list:
+    """Absolute FASTQ offset of each writer's first record, reconstructed
+    from the footer exactly as partition_regions computed it: nominal
+    boundary size*w/P plus the recorded overlap scan, clamped monotonic."""
+    starts = []
+    for w in range(foot.n_writers):
+        a = foot.fastq_size * w // foot.n_writers + foot.overlaps[w]
+        starts.append(max(a, starts[-1]) if starts else a)
+    return starts
+
+
+def _read_footer_any(data) -> footermod.Footer:
     if isinstance(data, np.ndarray):
-        foot = footermod.read_footer(bytes(data[-footermod.footer_region_size(data.shape[0]):]))
-    else:
-        foot = footermod.read_footer(data)
+        tail = footermod.footer_region_size(data.shape[0])
+        return footermod.read_footer(bytes(data[-tail:]))
+    return footermod.read_footer(data)
+
+
+def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
+                   write_at) -> None:
+    """Core streaming decode: calls write_at(offset, chunk) for every decoded
+    sub-block, software-pipelined (stage A of later sub-blocks overlaps the
+    fused device→host fetch of earlier ones). Holds at most pipeline_depth
+    in-flight sub-blocks — no whole-file accumulation."""
     cfg = cfg or CodecConfig()
     if (foot.records_per_substream != cfg.records_per_substream
             or foot.max_code_len != cfg.max_code_len):
@@ -33,39 +53,68 @@ def decompress_bytes(data, cfg: Optional[CodecConfig] = None) -> bytes:
             max_code_len=foot.max_code_len,
         )
     sizes = foot.block_sizes_in_file_order()
-    blocks = []  # views; materialized one block at a time below
-    off = 0
-    for size, wid in zip(sizes, foot.cbo):
-        blocks.append((wid, data[off : off + size]))
-        off += size
+    starts = writer_output_starts(foot)
+    cursor = list(starts)  # next output offset per writer
 
-    # software-pipelined decode: stage A (parse + device dispatch) of later
-    # sub-blocks overlaps the fused device→host fetch of earlier ones
-    per_writer: dict = {w: [] for w in range(foot.n_writers)}
+    def blocks():
+        off = 0
+        for size, wid in zip(sizes, foot.cbo):
+            yield wid, bytes(data[off : off + size])  # one block at a time
+            off += size
+
+    written = 0
     pending = []  # [(wid, _DStage)]
-    lazy = ((w, bytes(p)) for w, p in blocks)  # copy per block, on demand
-    for wid, payload in blockmod.iter_subblocks(lazy):
+
+    def _drain_one():
+        nonlocal written
+        w, st = pending.pop(0)
+        chunk = sbmod.decode_stage_b(st)
+        write_at(cursor[w], chunk)
+        cursor[w] += len(chunk)
+        written += len(chunk)
+        lim = starts[w + 1] if w + 1 < len(starts) else foot.fastq_size
+        if cursor[w] > lim:
+            raise ValueError(
+                f"writer {w} decoded past its region ({cursor[w]} > {lim}): "
+                "corrupt container")
+
+    for wid, payload in blockmod.iter_subblocks(blocks()):
         pending.append((wid, sbmod.decode_stage_a(payload, cfg)))
         if len(pending) >= max(cfg.pipeline_depth, 1):
-            w, st = pending.pop(0)
-            per_writer[w].append(sbmod.decode_stage_b(st))
-    for w, st in pending:
-        per_writer[w].append(sbmod.decode_stage_b(st))
+            _drain_one()
+    while pending:
+        _drain_one()
 
-    out = bytearray()
-    for w in range(foot.n_writers):
-        for chunk in per_writer[w]:
-            out += chunk
-    if len(out) != foot.fastq_size:
+    if written != foot.fastq_size:
         raise ValueError(
-            f"decompressed size {len(out)} != footer fastq_size {foot.fastq_size}"
+            f"decompressed size {written} != footer fastq_size {foot.fastq_size}"
         )
+
+
+def decompress_bytes(data, cfg: Optional[CodecConfig] = None) -> bytes:
+    """`data` is bytes or any buffer (np.memmap works — blocks are sliced
+    lazily, so large containers stream from the page cache)."""
+    foot = _read_footer_any(data)
+    out = bytearray(foot.fastq_size)
+
+    def write_at(off: int, chunk: bytes) -> None:
+        out[off : off + len(chunk)] = chunk
+
+    _decode_stream(data, foot, cfg, write_at)
     return bytes(out)
 
 
 def decompress_file(in_path: str, out_path: str,
                     cfg: Optional[CodecConfig] = None) -> None:
+    """Bounded-memory file-to-file decompression: the container is memmapped,
+    decoded chunks are pwritten at their absolute offsets as they complete —
+    RSS is flat in the file size."""
     data = np.memmap(in_path, dtype=np.uint8, mode="r")
-    out = decompress_bytes(data, cfg)
-    with open(out_path, "wb") as f:
-        f.write(out)
+    foot = _read_footer_any(data)
+    fd = os.open(out_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        os.ftruncate(fd, foot.fastq_size)
+        _decode_stream(data, foot, cfg,
+                       lambda off, chunk: os.pwrite(fd, chunk, off))
+    finally:
+        os.close(fd)
