@@ -163,6 +163,40 @@ void phyngsc_huffman_lengths(const int64_t *hist, int32_t K, int32_t A,
   }
 }
 
+// Substream-parallel LUT decode walk (twin of ops/bitpack.unpack_substreams_np
+// — bit-identical). The walk is inherently sequential per substream (each
+// code's length moves the bit cursor), so the host version parallelizes over
+// substreams with OpenMP; used for the title char stream, whose per-record
+// step counts are data-dependent (the device walk would pay one executable
+// per step-count bucket and a per-sub-block H2D of the step maps).
+// words: packed uint32 (caller appends >= 2 zero pad words like the numpy
+// twin); luts: (n_trees, 2^lut_bits) int32 entries (len<<9 | sym).
+void phyngsc_unpack_substreams(const uint32_t *words, int64_t n_words,
+                               const int64_t *sub_word_start, int64_t S,
+                               const int32_t *luts, int32_t lut_bits,
+                               const int32_t *tree_ids, const uint8_t *valid,
+                               int64_t T, int32_t *out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < S; ++s) {
+    int64_t wi = sub_word_start[s];
+    uint32_t bit = 0;
+    const int32_t *tid = tree_ids + s * T;
+    const uint8_t *v = valid + s * T;
+    int32_t *o = out + s * T;
+    for (int64_t t = 0; t < T; ++t) {
+      uint32_t w1 = (wi >= 0 && wi < n_words) ? words[wi] : 0;
+      uint32_t w2 = (wi + 1 >= 0 && wi + 1 < n_words) ? words[wi + 1] : 0;
+      uint32_t win = bit ? ((w1 << bit) | (w2 >> (32 - bit))) : w1;
+      uint32_t idx = win >> (32 - (uint32_t)lut_bits);
+      int32_t entry = luts[((int64_t)tid[t] << lut_bits) | idx];
+      o[t] = entry & 0x1FF;
+      bit += v[t] ? (uint32_t)(entry >> 9) : 0u;
+      wi += bit >> 5;
+      bit &= 31u;
+    }
+  }
+}
+
 // Single-pass title scan: separator positions/chars plus per-field canonical
 // numeric parse (<= 18 digits, no leading zero unless "0"). Replaces the
 // tokenize + per-field digit loops of the title model (models/title.py) —

@@ -236,12 +236,15 @@ def compact_rows(plane: jnp.ndarray, sub_n_words: jnp.ndarray,
 
 def trim_rows_np(plane: np.ndarray, sub_n_words: np.ndarray) -> np.ndarray:
     """Host compaction of a pack_bits_rows plane: concat row s's first
-    sub_n_words[s] words (the dense stream, = pack_bits_scatter output)."""
+    sub_n_words[s] words (the dense stream, = pack_bits_scatter output).
+    One boolean-mask flatten — row-major selection preserves (row, column)
+    order, so no per-substream Python iteration (S can be 1024+)."""
     plane = np.asarray(plane)
-    n = np.asarray(sub_n_words)
-    return np.concatenate(
-        [plane[s, : int(n[s])] for s in range(plane.shape[0])]
-    ) if plane.shape[0] else np.zeros(0, np.uint32)
+    if not plane.shape[0]:
+        return np.zeros(0, np.uint32)
+    n = np.asarray(sub_n_words).astype(np.int64)
+    mask = np.arange(plane.shape[1], dtype=np.int64)[None, :] < n[:, None]
+    return plane[mask]
 
 
 @functools.partial(jax.jit, static_argnames=("n_words", "max_per_word"))
@@ -354,8 +357,27 @@ def extract_fixed_width_np(words: np.ndarray, bit_offsets: np.ndarray,
 def unpack_substreams_np(words: np.ndarray, sub_word_start: np.ndarray,
                          luts: np.ndarray, tree_ids: np.ndarray,
                          valid: np.ndarray, n_steps: int, lut_bits: int):
-    """Vectorized-over-substreams host decode (numpy twin of
-    unpack_substreams)."""
+    """Host decode walk: native OpenMP twin when available (no per-step
+    Python iteration — n_steps is O(title chars/substream) on real variable
+    titles), numpy fallback otherwise. Both bit-identical to
+    unpack_substreams."""
+    from phyngsc_tpu.utils import native
+
+    out = native.unpack_substreams(
+        np.concatenate([np.asarray(words, np.uint32),
+                        np.zeros(2, np.uint32)]),
+        np.asarray(sub_word_start, np.int64), np.asarray(luts),
+        np.asarray(tree_ids), np.asarray(valid), n_steps, lut_bits)
+    if out is not None:
+        return out
+    return _unpack_substreams_py(words, sub_word_start, luts, tree_ids,
+                                 valid, n_steps, lut_bits)
+
+
+def _unpack_substreams_py(words: np.ndarray, sub_word_start: np.ndarray,
+                          luts: np.ndarray, tree_ids: np.ndarray,
+                          valid: np.ndarray, n_steps: int, lut_bits: int):
+    """Vectorized-over-substreams numpy fallback (per-step Python loop)."""
     S = sub_word_start.shape[0]
     words = np.concatenate([words.astype(np.uint64), np.zeros(2, np.uint64)])
     n = words.shape[0]

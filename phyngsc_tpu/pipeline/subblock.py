@@ -116,12 +116,14 @@ class _StageB:
 def _trim_shard_words(words: np.ndarray, totals: np.ndarray, n_shards: int
                       ) -> np.ndarray:
     """Concatenate per-shard word buffers, dropping each shard's cap slack
-    (the substream table already accounts for only the real words)."""
-    t = np.asarray(totals).reshape(-1)
+    (the substream table already accounts for only the real words). One
+    boolean-mask flatten — no per-shard Python iteration."""
+    t = np.asarray(totals).reshape(-1).astype(np.int64)
     if n_shards <= 1:
         return words[: int(t[0])]
     per = words.reshape(n_shards, -1)
-    return np.concatenate([per[d, : int(t[d])] for d in range(n_shards)])
+    mask = np.arange(per.shape[1], dtype=np.int64)[None, :] < t[:, None]
+    return per[mask]
 
 
 #: optional sub-step timing sink (set by the compress driver under

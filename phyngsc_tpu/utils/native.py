@@ -63,6 +63,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32,
         i32p, i32p, ctypes.c_void_p, i64p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "phyngsc_unpack_substreams"):
+        lib.phyngsc_unpack_substreams.restype = None
+        lib.phyngsc_unpack_substreams.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p, ctypes.c_int64,
+            i32p, ctypes.c_int32, i32p, ctypes.c_void_p, ctypes.c_int64,
+            i32p,
+        ]
     _lib = lib
     return _lib
 
@@ -144,6 +151,33 @@ def title_scan(titles: np.ndarray, tlens: np.ndarray, separators: bytes,
     )
     return {"nsep": nsep, "sep_pos": sep_pos, "sep_chars": sep_chars,
             "values": values, "numeric_ok": numeric_ok.astype(bool)}
+
+
+def unpack_substreams(words: np.ndarray, sub_word_start: np.ndarray,
+                      luts: np.ndarray, tree_ids: np.ndarray,
+                      valid: np.ndarray, n_steps: int, lut_bits: int
+                      ) -> Optional[np.ndarray]:
+    """Substream-parallel LUT decode walk; bit-identical to
+    ops/bitpack.unpack_substreams_np. Returns (S, n_steps) int32, or None
+    when the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_unpack_substreams"):
+        return None
+    S = int(sub_word_start.shape[0])
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    sub_word_start = np.ascontiguousarray(sub_word_start, dtype=np.int64)
+    luts = np.ascontiguousarray(luts, dtype=np.int32)
+    tree_ids = np.ascontiguousarray(tree_ids, dtype=np.int32)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    out = np.empty((S, n_steps), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.phyngsc_unpack_substreams(
+        words.ctypes.data, words.shape[0], _i64p(sub_word_start), S,
+        luts.ctypes.data_as(i32p), lut_bits,
+        tree_ids.ctypes.data_as(i32p), valid.ctypes.data, n_steps,
+        out.ctypes.data_as(i32p),
+    )
+    return out
 
 
 def huffman_lengths(hist: np.ndarray, max_len: int):

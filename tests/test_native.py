@@ -117,3 +117,56 @@ def test_huffman_matches_roundtrip_in_codec():
         jnp.array(tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
     )
     np.testing.assert_array_equal(np.asarray(got), qual)
+
+
+def test_native_unpack_substreams_matches_numpy():
+    """The native OpenMP decode walk must be bit-identical to the numpy
+    twin, including word-boundary crossings, invalid (masked) steps, and
+    multi-tree LUTs."""
+    import numpy as np
+
+    from phyngsc_tpu.ops import bitpack, huffman
+    from phyngsc_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(21)
+    lut_bits = 12
+    n_trees = 5
+    # random length-limited trees over a 40-symbol alphabet
+    counts = rng.integers(1, 500, size=(n_trees, 256))
+    counts[:, 40:] = 0
+    lens = huffman.build_code_lengths_batch(counts, lut_bits)
+    codes = np.asarray(huffman.canonical_codes(lens))
+    sym_l, ln_l = huffman.decode_lut_batch(lens, lut_bits)
+    luts = (ln_l.astype(np.int32) << 9) | sym_l.astype(np.int32)
+
+    S, T = 7, 190
+    tree_ids = rng.integers(0, n_trees, size=(S, T)).astype(np.int32)
+    valid = np.ones((S, T), bool)
+    valid[:, 170:] = False  # exhausted tail on every substream
+    syms = rng.choice(np.flatnonzero(counts[0] > 0), size=(S, T))
+    # encode each substream with the chosen trees via the host packer
+    sub_words = []
+    for s in range(S):
+        c = codes[tree_ids[s], syms[s]]
+        l = lens[tree_ids[s], syms[s]].astype(np.int64)
+        l[~valid[s]] = 0
+        off = np.cumsum(l) - l
+        n_w = int((off[-1] + l[-1] + 31) // 32) + 1
+        sub_words.append(bitpack.pack_bits_scatter_np(c, l, off, n_w))
+    sub_start = np.cumsum([0] + [w.shape[0] for w in sub_words])[:-1]
+    words = np.concatenate(sub_words).astype(np.uint32)
+
+    a = bitpack._unpack_substreams_py(
+        words, sub_start.astype(np.int64), luts, tree_ids, valid, T, lut_bits)
+    b = native.unpack_substreams(
+        np.concatenate([words, np.zeros(2, np.uint32)]),
+        sub_start.astype(np.int64), luts, tree_ids,
+        valid, T, lut_bits)
+    assert b is not None
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.where(valid, a, 0),
+                                  np.where(valid, syms, 0))
