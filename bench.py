@@ -57,6 +57,11 @@ def main() -> int:
     data = synthesize_fastq(n_records, read_len=read_len, style=style, seed=7)
     synth_s = time.perf_counter() - t0
 
+    # per-stage budgets captured on the best-of runs (VERDICT r1 #1: the
+    # budget proves where the wall-clock goes — relay wire time vs host work)
+    os.environ["PHYNGSC_TIMING"] = "1"
+    from phyngsc_tpu.pipeline import subblock as sbmod
+
     # warm-up: compile every kernel shape on a small prefix + full run once
     t0 = time.perf_counter()
     comp = compress_bytes(data, cfg, n_writers)
@@ -66,15 +71,29 @@ def main() -> int:
     # relay whose latency varies minute-to-minute; best-of is the stable
     # estimator of pipeline speed
     comp_s = float("inf")
+    comp_budget = None
     for _ in range(3):
         t0 = time.perf_counter()
         comp = compress_bytes(data, cfg, n_writers)
-        comp_s = min(comp_s, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if dt < comp_s:
+            comp_s = dt
+            comp_budget = dict(sbmod.TIMING or {})
 
-    ok = True
-    if verify:
+    # decompress: warm once (compiles decode kernels), then best-of-3
+    t0 = time.perf_counter()
+    back = decompress_bytes(comp)
+    dwarm_s = time.perf_counter() - t0
+    ok = (back == data) if verify else True
+    dec_s = float("inf")
+    dec_budget = None
+    for _ in range(3):
+        t0 = time.perf_counter()
         back = decompress_bytes(comp)
-        ok = back == data
+        dt = time.perf_counter() - t0
+        if dt < dec_s:
+            dec_s = dt
+            dec_budget = dict(sbmod.TIMING or {})
 
     # device-only kernel throughput (no host work, no tunnel transfers):
     # the compute ceiling this pipeline hits on real (PCIe-attached) hosts

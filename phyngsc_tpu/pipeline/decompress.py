@@ -56,6 +56,10 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
     starts = writer_output_starts(foot)
     cursor = list(starts)  # next output offset per writer
 
+    # per-stage timing sink (same contract as the compress driver):
+    # d.parse / d.device_dispatch / d.fetch / d.reassemble
+    sbmod.TIMING = {} if os.environ.get("PHYNGSC_TIMING") else None
+
     def blocks():
         off = 0
         for size, wid in zip(sizes, foot.cbo):
@@ -89,6 +93,12 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
         raise ValueError(
             f"decompressed size {written} != footer fastq_size {foot.fastq_size}"
         )
+    if sbmod.TIMING is not None:
+        from phyngsc_tpu.utils.logging import info
+
+        parts = " ".join(f"{k}={v:.2f}s"
+                         for k, v in sorted(sbmod.TIMING.items()))
+        info("decode timing: %s", parts)
 
 
 def decompress_bytes(data, cfg: Optional[CodecConfig] = None) -> bytes:

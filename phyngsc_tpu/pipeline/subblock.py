@@ -459,9 +459,14 @@ def decode_stage_a(data: bytes, cfg: CodecConfig) -> _DStage:
 
 
 def decode_stage_b(st: _DStage) -> bytes:
+    import time as _t
+
+    t0 = _t.perf_counter()
     both = np.asarray(st.blob)
+    t0 = _tick("d.fetch", t0)
     out = _reassemble(st.R, st.lens_np, st.titles_np, st.tlens_np,
                       both[0, : st.R], both[1, : st.R])
+    _tick("d.reassemble", t0)
     if st.crc is not None:
         import zlib
 
@@ -478,7 +483,20 @@ def decode_subblock(data: bytes, cfg: CodecConfig) -> bytes:
     return decode_stage_b(decode_stage_a(data, cfg))
 
 
-def _decode_dispatch(data: bytes, cfg: CodecConfig):
+class _DParsed:
+    """Host-side parse result of one sub-block payload: everything the device
+    decode needs, as numpy arrays + table plans. Splitting parse from device
+    dispatch lets the decompress driver time them separately and lets bench.py
+    hoist the H2D uploads to measure device-only decode throughput."""
+
+    __slots__ = ("R", "Lt", "L", "Rp", "G", "variable", "is_delta", "crc",
+                 "lens_np", "lens_pad", "titles_np", "tlens_np",
+                 "q_tables", "q_sub", "q_words", "pplan",
+                 "d_plan", "d_sub", "d_words")
+
+
+def _decode_parse(data: bytes, cfg: CodecConfig) -> _DParsed:
+    p = _DParsed()
     sections = []
     off = 0
     for _ in range(4):
@@ -488,22 +506,23 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     meta_sec, title_sec, quality_sec, dna_sec = sections
 
     br = BitReader(meta_sec)
-    R = br.get_uint(4)
-    Lt = br.get_bits(16)
-    L = bucket_length(Lt)
+    R = p.R = br.get_uint(4)
+    Lt = p.Lt = br.get_bits(16)
+    p.L = bucket_length(Lt)
     flags = br.get_byte()
-    variable = bool(flags & FLAG_VARIABLE_LENGTH)
-    is_delta = bool(flags & FLAG_DELTA)
-    crc = br.get_uint(4) if flags & FLAG_CRC else None
+    variable = p.variable = bool(flags & FLAG_VARIABLE_LENGTH)
+    p.is_delta = bool(flags & FLAG_DELTA)
+    p.crc = br.get_uint(4) if flags & FLAG_CRC else None
     if variable:
         w = br.get_byte()
         br.align()
-        lens_np = _unpack_fixed_np(br.get_bytes(((R * w) + 7) // 8), w, R).astype(np.int32)
+        p.lens_np = _unpack_fixed_np(
+            br.get_bytes(((R * w) + 7) // 8), w, R).astype(np.int32)
     else:
         br.align()
-        lens_np = np.full(R, Lt, np.int32) if R else np.zeros(0, np.int32)
+        p.lens_np = np.full(R, Lt, np.int32) if R else np.zeros(0, np.int32)
 
-    G = cfg.records_per_substream
+    G = p.G = cfg.records_per_substream
 
     # title
     br = BitReader(title_sec)
@@ -511,18 +530,18 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
     br.align()
     fixed_words = bitpack.bytes_to_words(br.get_bytes(4 * n_fixed))
     char_words = bitpack.bytes_to_words(br.get_bytes(4 * n_char))
-    titles_np, tlens_np = title.decode(t_plan, fixed_words, char_words, t_sub, R, cfg)
+    p.titles_np, p.tlens_np = title.decode(
+        t_plan, fixed_words, char_words, t_sub, R, cfg)
 
     # quality (before DNA — carries the ambiguity transfer)
     br = BitReader(quality_sec)
-    q_tables, q_sub, q_total = quality.read_header(br)
+    p.q_tables, p.q_sub, q_total = quality.read_header(br)
     br.align()
 
     # Rp comes from the stored substream-table length, making decode agnostic
     # to the encoder's shard count / bucketing.
-    Rp = q_sub.shape[0] * G if q_sub.shape[0] else bucket_records(R, G)
-    lens_pad = np.concatenate([lens_np, np.zeros(Rp - R, np.int32)])
-    lens_j = jnp.array(lens_pad)
+    p.Rp = p.q_sub.shape[0] * G if p.q_sub.shape[0] else bucket_records(R, G)
+    p.lens_pad = np.concatenate([p.lens_np, np.zeros(p.Rp - R, np.int32)])
 
     # Decode-side word buffers are padded to bucketed sizes (16K-word
     # granularity) so sub-blocks share compiled executables without paying
@@ -534,48 +553,88 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig):
         out[: words.shape[0]] = words
         return out
 
-    q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)))
-    pplan = quality.pair_plan(q_tables, Lt) if (not variable and R) else None
-    if pplan is not None:
+    p.q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)))
+    p.pplan = quality.pair_plan(p.q_tables, Lt) if (not variable and R) else None
+
+    br = BitReader(dna_sec)
+    p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(br)
+    p.is_delta = p.is_delta or is_delta_hdr
+    br.align()
+    p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)))
+    return p
+
+
+def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
+    """One-time H2D uploads for _decode_device (bench.py hoists this out of
+    its device-only timing loop; pair LUT uploads are cached in pair_plan)."""
+    dev = {
+        "q_words": jnp.array(p.q_words),
+        "q_sub": jnp.array(p.q_sub),
+        "lens": jnp.array(p.lens_pad),
+        "d_words": jnp.array(p.d_words),
+        "d_sub": jnp.array(p.d_sub),
+    }
+    if p.pplan is not None:
+        _, pair_ids, half_ids, _ = p.pplan
+        pair_vec, half_vec = quality.pair_step_vectors(
+            pair_ids, half_ids, p.Lt, (p.G * p.L) // 2)
+        dev["pair_vec"] = jnp.array(pair_vec)
+        dev["half_vec"] = jnp.array(half_vec)
+    else:
+        dev["q_luts"] = jnp.array(p.q_tables.luts(cfg.max_code_len))
+    if p.d_plan.mode != dna.MODE_PLAIN:
+        dev["d_luts"] = jnp.array(p.d_plan.luts(cfg.max_code_len))
+    return dev
+
+
+def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
+    """Device decode graph: quality walk → keep mask → DNA decode → ambiguity
+    restore → delta untranslate, all without a device→host sync; returns the
+    fused (seq, qual) blob pending one fetch."""
+    L, Lt, G = p.L, p.Lt, p.G
+    lens_j = dev["lens"]
+    if p.pplan is not None:
         # uniform-length fast path: two symbols per LUT gather (the walk is
         # gather-bound, so this is ~2x); tables deduped/cached in pair_plan
-        luts2, pair_ids, half_ids, pair_bits = pplan
-        pair_vec, half_vec = quality.pair_step_vectors(
-            pair_ids, half_ids, Lt, (G * L) // 2)
+        luts2, _, _, pair_bits = p.pplan
         qual_t = quality.decode_device_pairs(
-            jnp.array(q_words), jnp.array(q_sub), lens_j, luts2,
-            jnp.array(pair_vec), jnp.array(half_vec),
-            L, Lt, G, pair_bits,
+            dev["q_words"], dev["q_sub"], lens_j, luts2,
+            dev["pair_vec"], dev["half_vec"], L, Lt, G, pair_bits,
         )
     else:
         qual_t = quality.decode_device(
-            jnp.array(q_words), jnp.array(q_sub), lens_j,
-            jnp.array(q_tables.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
+            dev["q_words"], dev["q_sub"], lens_j,
+            dev["q_luts"], L, G, cfg.max_code_len,
             # only when Lt fills the bucket exactly — otherwise the static
             # arg would key one executable per raw read length
-            uniform_len=Lt if (not variable and Lt == L) else 0,
+            uniform_len=Lt if (not p.variable and Lt == L) else 0,
         )
 
     # dna — the keep mask stays on device (quality >= 128 marks transferred
-    # positions); the whole quality→dna→restore→delta chain runs without a
-    # device→host sync, finishing in one fused (seq, qual) fetch.
-    br = BitReader(dna_sec)
-    d_plan, d_sub, d_total, is_delta_hdr = dna.read_header(br)
-    br.align()
-    d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)))
+    # positions)
     keep = _keep_from_quality(qual_t, lens_j)
-    if d_plan.mode == dna.MODE_PLAIN:
-        dna_syms = dna.decode_plain(jnp.array(d_words), jnp.array(d_sub),
-                                    keep, L, G)
+    if p.d_plan.mode == dna.MODE_PLAIN:
+        dna_syms = dna.decode_plain(dev["d_words"], dev["d_sub"], keep, L, G)
     else:
         dna_syms = dna.decode_huffman(
-            jnp.array(d_words), jnp.array(d_sub), keep,
-            jnp.array(d_plan.luts(cfg.max_code_len)), L, G, cfg.max_code_len,
+            dev["d_words"], dev["d_sub"], keep,
+            dev["d_luts"], L, G, cfg.max_code_len,
         )
     seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens_j)
-    if is_delta or is_delta_hdr:
+    if p.is_delta:
         seq_j = dna.delta_untranslate(seq_j, lens_j)
-    return R, lens_np, titles_np, tlens_np, _fuse_seq_qual(seq_j, qual_j), crc
+    return _fuse_seq_qual(seq_j, qual_j)
+
+
+def _decode_dispatch(data: bytes, cfg: CodecConfig):
+    import time as _t
+
+    t0 = _t.perf_counter()
+    p = _decode_parse(data, cfg)
+    t0 = _tick("d.parse", t0)
+    blob = _decode_device(p, _decode_device_inputs(p, cfg), cfg)
+    _tick("d.device_dispatch", t0)
+    return p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc
 
 
 def _reassemble(R, lens_np, titles_np, tlens_np, seq_np, qual_np) -> bytes:
