@@ -163,6 +163,7 @@ def main() -> int:
         pass
 
     mbps = len(data) / comp_s / 1e6
+    dec_mbps = len(data) / dec_s / 1e6
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")) as f:
@@ -180,6 +181,13 @@ def main() -> int:
             "ratio": round(len(data) / len(comp), 3),
             "roundtrip_ok": ok,
             "warm_s": round(warm_s, 2),
+            "decompress_mbps": round(dec_mbps, 3),
+            "decompress_vs_baseline": round(dec_mbps / baseline, 3),
+            "decompress_warm_s": round(dwarm_s, 2),
+            "compress_budget_s": {k: round(v, 2)
+                                  for k, v in (comp_budget or {}).items()},
+            "decompress_budget_s": {k: round(v, 2)
+                                    for k, v in (dec_budget or {}).items()},
             "synth_s": round(synth_s, 2),
             "backend": jax.default_backend(),
             "writers": n_writers,
