@@ -56,9 +56,18 @@ NUM_DELTA = 1
 #: Signaled by the width==127 escape in the header (old containers never
 #: write widths > 64, so v2 files parse unchanged).
 NUM_BLOCK = 2
+#: shared-tree numeric Huffman (reference tasks.cpp:338-347: one Huffman tree
+#: per field over `value - base` (or `delta - min_delta`) whenever the range
+#: fits HUF_GLOBAL_SIZE=512, structures.h:25). Payload rides the char-stream
+#: substream walk as ONE symbol per record; symbols <= 511 fit the 9-bit LUT
+#: field. Chosen by exact measured bits like every other mode.
+NUM_HUF = 3
+MAX_HUF_RANGE = 512
 BLOCK_RECORDS = 32
 #: header escape value for NUM_BLOCK (7-bit width field)
 _WIDTH_ESCAPE = 127
+#: header escape value for NUM_HUF (real widths are <= 64, so 126 is free)
+_WIDTH_ESCAPE_HUF = 126
 BLK_CONST = 0
 BLK_DELTA = 1
 BLK_RAW = 2
@@ -157,10 +166,15 @@ class NumericPlan:
     blk_a: Optional[np.ndarray] = None       # (nB,) uint64 value/first − base
     blk_d: Optional[np.ndarray] = None       # (nB,) uint64 zigzag delta
     blk_raw: Optional[np.ndarray] = None     # (sum of raw counts,) uint64
+    # NUM_HUF: shared tree over (value|delta) - base; one symbol per record
+    hsub: int = NUM_VALUE                    # NUM_VALUE | NUM_DELTA
+    alpha: int = 0                           # alphabet size (range + 1)
+    huf_lens: Optional[np.ndarray] = None    # (alpha,) uint8 code lengths
+    huf_sing: int = -1
 
     @property
     def chunk_widths(self) -> List[int]:
-        if self.width == 0 or self.mode == NUM_BLOCK:
+        if self.width == 0 or self.mode in (NUM_BLOCK, NUM_HUF):
             return []
         n = (self.width + 15) // 16
         return [self.width - 16 * (n - 1)] + [16] * (n - 1)
@@ -188,7 +202,8 @@ class CharPlan:
         return np.minimum(p, self.tables_lens.shape[0] - 1)
 
 
-def plan_numeric(content: np.ndarray, flens: np.ndarray) -> Optional[NumericPlan]:
+def plan_numeric(content: np.ndarray, flens: np.ndarray,
+                 max_code_len: int = 12) -> Optional[NumericPlan]:
     R, W = content.shape
     if R == 0 or W == 0 or W > MAX_NUMERIC_DIGITS:
         return None
@@ -208,24 +223,26 @@ def plan_numeric(content: np.ndarray, flens: np.ndarray) -> Optional[NumericPlan
         * (10 ** place.astype(np.int64)),
         axis=1,
     )
-    return _numeric_plan_from_values(vals)
+    return _numeric_plan_from_values(vals, max_code_len)
 
 
-def plan_numeric_scan(vals: np.ndarray, ok: np.ndarray) -> Optional[NumericPlan]:
+def plan_numeric_scan(vals: np.ndarray, ok: np.ndarray,
+                      max_code_len: int = 12) -> Optional[NumericPlan]:
     """Fast path from the native title scan (values + validity pre-parsed)."""
     if vals.shape[0] == 0 or not bool(np.all(ok)):
         return None
-    return _numeric_plan_from_values(vals)
+    return _numeric_plan_from_values(vals, max_code_len)
 
 
-def _numeric_plan_from_values(vals: np.ndarray) -> NumericPlan:
+def _numeric_plan_from_values(vals: np.ndarray,
+                              max_code_len: int = 12) -> NumericPlan:
     R = vals.shape[0]
     vmin, vmax = int(vals.min()), int(vals.max())
     width_v = bit_length(vmax - vmin) if vmax > vmin else 0
     best = NumericPlan(KIND_NUMERIC, NUM_VALUE, width_v, vmin)
     best_bits = R * width_v
-    if R >= 2:
-        d = np.diff(vals)
+    d = np.diff(vals) if R >= 2 else None
+    if d is not None:
         dmin, dmax = int(d.min()), int(d.max())
         width_d = bit_length(dmax - dmin) if dmax > dmin else 0
         bits_d = (R - 1) * width_d + 128
@@ -235,7 +252,51 @@ def _numeric_plan_from_values(vals: np.ndarray) -> NumericPlan:
             best_bits = bits_d
     blk = _plan_numeric_block(vals, vmin, width_v)
     if blk is not None and blk[1] < best_bits:
-        return blk[0]
+        best, best_bits = blk
+    huf = _plan_numeric_huf(vals, d, vmin, vmax, width_v, max_code_len)
+    if huf is not None and huf[1] < best_bits:
+        best, best_bits = huf
+    return best
+
+
+def _table_cost_bits(lens: np.ndarray) -> int:
+    """Exact store_table bit cost (lengths-only layout, huffman.py)."""
+    n = int(np.count_nonzero(lens))
+    if n <= 1:
+        return 32
+    return 16 + lens.shape[0] + 4 * n
+
+
+def _plan_numeric_huf(vals, d, vmin: int, vmax: int, width_v: int,
+                      max_code_len: int):
+    """Shared-tree Huffman candidates over values / deltas, range <= 512
+    (tasks.cpp:338-347 / HUF_GLOBAL_SIZE parity): returns (plan, exact bits)
+    of the better of the two, or None when neither range qualifies."""
+    best = None
+    cap = min(MAX_HUF_RANGE, 1 << max_code_len)  # Kraft-feasible alphabets only
+    A = vmax - vmin + 1
+    if 2 <= A <= cap:
+        hist = np.bincount((vals - vmin).astype(np.int64), minlength=A)
+        lens = huffman.build_code_lengths(hist, max_code_len)
+        bits = int((hist * lens).sum()) + _table_cost_bits(lens) + 84
+        best = (NumericPlan(KIND_NUMERIC, NUM_HUF, width_v, vmin,
+                            hsub=NUM_VALUE, alpha=A, huf_lens=lens,
+                            huf_sing=huffman.singleton_of(hist)), bits)
+    if d is not None and d.shape[0]:
+        dmin, dmax = int(d.min()), int(d.max())
+        Ad = dmax - dmin + 1
+        if 2 <= Ad <= cap:
+            # record 0 emits symbol 0 (decode overwrites d[0]; `first`
+            # carries the true value) — included in the histogram
+            enc = np.concatenate([[0], (d - dmin).astype(np.int64)])
+            hist = np.bincount(enc, minlength=Ad)
+            lens = huffman.build_code_lengths(hist, max_code_len)
+            bits = int((hist * lens).sum()) + _table_cost_bits(lens) + 148
+            if best is None or bits < best[1]:
+                best = (NumericPlan(KIND_NUMERIC, NUM_HUF, width_v, dmin,
+                                    int(vals[0]), hsub=NUM_DELTA, alpha=Ad,
+                                    huf_lens=lens,
+                                    huf_sing=huffman.singleton_of(hist)), bits)
     return best
 
 
@@ -333,24 +394,46 @@ class TitlePlan:
     def n_fields(self) -> int:
         return len(self.fields)
 
+    @staticmethod
+    def _field_n_trees(p) -> int:
+        if p.kind == KIND_CHAR:
+            return p.tables_lens.shape[0]
+        return 1 if p.mode == NUM_HUF else 0
+
     def char_tree_base(self, f: int) -> int:
         base = 0
         for g, p in enumerate(self.fields):
             if g == f:
                 return base
-            if p.kind == KIND_CHAR:
-                base += p.tables_lens.shape[0]
+            base += self._field_n_trees(p)
         return base
 
     @property
     def all_char_lens(self) -> np.ndarray:
-        mats = [p.tables_lens for p in self.fields if p.kind == KIND_CHAR]
-        return np.concatenate(mats) if mats else np.zeros((0, ALPHABET), np.uint8)
+        """All walk trees (char positions + NUM_HUF shared trees) in field
+        order, zero-padded to a common alphabet width (padding symbols have
+        length 0 — absent from every codebook, so codes are unchanged)."""
+        mats = []
+        for p in self.fields:
+            if p.kind == KIND_CHAR:
+                mats.append(p.tables_lens)
+            elif p.mode == NUM_HUF:
+                mats.append(p.huf_lens[None, :])
+        if not mats:
+            return np.zeros((0, ALPHABET), np.uint8)
+        amax = max(m.shape[1] for m in mats)
+        mats = [np.pad(m, ((0, 0), (0, amax - m.shape[1]))) for m in mats]
+        return np.concatenate(mats)
 
     @property
     def all_char_singletons(self) -> np.ndarray:
-        mats = [p.tables_singletons for p in self.fields if p.kind == KIND_CHAR]
-        return np.concatenate(mats) if mats else np.zeros(0, np.int32)
+        vecs = []
+        for p in self.fields:
+            if p.kind == KIND_CHAR:
+                vecs.append(p.tables_singletons)
+            elif p.mode == NUM_HUF:
+                vecs.append(np.array([p.huf_sing], np.int32))
+        return np.concatenate(vecs) if vecs else np.zeros(0, np.int32)
 
     def luts(self, lut_bits: int) -> np.ndarray:
         lens = self.all_char_lens
@@ -433,9 +516,10 @@ def analyze(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
     for f in range(ctx.tok.n_fields):
         flens = ctx.tok.lens[:, f]
         if ctx.scan_numeric_ok is not None:
-            p = plan_numeric_scan(ctx.scan_values[:, f], ctx.scan_numeric_ok[:, f])
+            p = plan_numeric_scan(ctx.scan_values[:, f],
+                                  ctx.scan_numeric_ok[:, f], cfg.max_code_len)
         else:
-            p = plan_numeric(ctx.content(f), flens)
+            p = plan_numeric(ctx.content(f), flens, cfg.max_code_len)
         if p is None:
             p = plan_char(ctx.content(f), flens, cfg)
         fields.append(p)
@@ -463,8 +547,10 @@ def _fixed_payload(plan: TitlePlan, ctx: TitleContext, R: int) -> np.ndarray:
     cols = []
     for f, p in enumerate(plan.fields):
         if p.kind == KIND_NUMERIC:
-            if p.width == 0 or p.mode == NUM_BLOCK:
-                continue  # constant / block-descriptor fields: no per-record payload
+            if p.width == 0 or p.mode in (NUM_BLOCK, NUM_HUF):
+                # constant / block-descriptor / huffman-coded fields pay no
+                # fixed-stream payload (NUM_HUF rides the char walk)
+                continue
             if ctx.scan_values is not None:
                 vals = ctx.scan_values[:, f]
             else:
@@ -493,7 +579,24 @@ def _char_symbols(plan: TitlePlan, ctx: TitleContext, R: int):
         if lens_tab.shape[0] else np.zeros((1, ALPHABET), np.uint32)
     code_cols, len_cols = [], []
     for f, p in enumerate(plan.fields):
-        if p.kind != KIND_CHAR or p.max_len == 0:
+        if p.kind == KIND_NUMERIC:
+            if p.mode != NUM_HUF:
+                continue
+            # one shared-tree symbol per record: (value|delta) - base
+            if ctx.scan_values is not None:
+                vals = ctx.scan_values[:, f]
+            else:
+                vals = _numeric_values(ctx.content(f), tok.lens[:, f])
+            if p.hsub == NUM_VALUE:
+                enc = (vals - p.base).astype(np.int64)
+            else:
+                enc = np.concatenate([[0], np.diff(vals) - p.base])
+                enc[0] = 0
+            base = plan.char_tree_base(f)
+            code_cols.append(codes_tab[base, enc][:, None].astype(np.uint32))
+            len_cols.append(lens_tab[base, enc][:, None].astype(np.int32))
+            continue
+        if p.max_len == 0:
             continue
         # all-singleton (constant) fields emit zero bits — skip the gathers
         if (p.const_len >= 0 and np.all(p.tables_singletons >= 0)):
@@ -593,6 +696,18 @@ def _block_values(p: NumericPlan, R: int) -> np.ndarray:
     m = i[None, :] < cnt[:, None]
     return V[m]
 
+def _ndigits(vals: np.ndarray) -> np.ndarray:
+    """Exact decimal digit count (float log10 corrected at powers of 10)."""
+    R = vals.shape[0]
+    vv = np.maximum(vals, 1)
+    ndig = np.floor(np.log10(vv.astype(np.float64))).astype(np.int64) + 1
+    too_big = vals >= 10 ** np.clip(ndig, 0, 18)
+    ndig = ndig + too_big
+    too_small = (vals < 10 ** np.clip(ndig - 1, 0, 18)) & (ndig > 1)
+    ndig = ndig - too_small
+    return ndig.astype(np.int32)
+
+
 def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
            char_sub_n_words: np.ndarray, R: int, cfg: CodecConfig):
     """Reconstruct R title byte strings. Returns (titles (R, TL) uint8, tlens)."""
@@ -616,6 +731,8 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
     k = 0
     for f, p in enumerate(plan.fields):
         if p.kind == KIND_NUMERIC:
+            if p.mode == NUM_HUF:
+                continue  # values come from the char walk below
             if p.mode == NUM_BLOCK:
                 vals = _block_values(p, R)
             else:
@@ -632,15 +749,7 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
                         d[0] = 0
                     vals = np.cumsum(d) + p.first
             field_vals[f] = vals
-            ndig = np.ones(R, np.int64)
-            vv = np.maximum(vals, 1)
-            ndig = np.floor(np.log10(vv.astype(np.float64))).astype(np.int64) + 1
-            # float log10 can be off by one at powers of 10 — correct exactly
-            too_big = vals >= 10 ** np.clip(ndig, 0, 18)
-            ndig = ndig + too_big
-            too_small = (vals < 10 ** np.clip(ndig - 1, 0, 18)) & (ndig > 1)
-            ndig = ndig - too_small
-            field_lens[:, f] = ndig.astype(np.int32)
+            field_lens[:, f] = _ndigits(vals)
         else:
             if p.const_len >= 0:
                 field_lens[:, f] = p.const_len
@@ -648,16 +757,30 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
                 field_lens[:, f] = chunks[:, k].astype(np.int32)
                 k += 1
 
-    # char stream decode
-    char_fields = [f for f, p in enumerate(plan.fields)
-                   if p.kind == KIND_CHAR and p.max_len > 0]
+    # walk-stream decode: char fields (one tree per position) + NUM_HUF
+    # numeric fields (one shared-tree symbol per record), in field order —
+    # matching _char_symbols' encode column order
+    walk_fields = [f for f, p in enumerate(plan.fields)
+                   if (p.kind == KIND_CHAR and p.max_len > 0)
+                   or (p.kind == KIND_NUMERIC and p.mode == NUM_HUF)]
     contents: dict = {}
-    if char_fields and R:
+    if walk_fields and R:
         G = cfg.records_per_substream
         S = Rp // G
+
+        def _walk_steps(f):
+            p = plan.fields[f]
+            if p.kind == KIND_CHAR:
+                return field_lens[:R, f].astype(np.int64)
+            return np.ones(R, np.int64)
+
+        before_of: dict = {}
+        acc = np.zeros(R, np.int64)
+        for f in walk_fields:
+            before_of[f] = acc.copy()
+            acc = acc + _walk_steps(f)
         steps_per_rec = np.zeros(Rp, np.int64)
-        for f in char_fields:
-            steps_per_rec[:R] += field_lens[:, f]
+        steps_per_rec[:R] = acc
         # build (S, T) tree ids + validity, and (r, f, pos) → step maps
         sub_tot = steps_per_rec.reshape(S, G).sum(axis=1)
         T = int(sub_tot.max()) if S else 0
@@ -667,44 +790,47 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
         rec_step0 = np.zeros(Rp, np.int64)
         cums = np.cumsum(steps_per_rec.reshape(S, G), axis=1)
         rec_step0.reshape(S, G)[:, 1:] = cums[:, :-1]
-        # per-record tree sequence: concat over char fields of
-        # base + tree_of_pos(0..len-1)
-        for f in char_fields:
+        for f in walk_fields:
             p = plan.fields[f]
             base = plan.char_tree_base(f)
-            fl = field_lens[:R, f]
-            before = np.zeros(R, np.int64)
-            for g in char_fields:
-                if g == f:
-                    break
-                before += field_lens[:R, g]
+            fl = _walk_steps(f)
             W = int(fl.max()) if R else 0
             if W == 0:
                 continue
             pos = np.arange(W, dtype=np.int64)
             m = pos[None, :] < fl[:, None]
-            step = rec_step0[:R, None] + before[:, None] + pos[None, :]
+            step = rec_step0[:R, None] + before_of[f][:, None] + pos[None, :]
             srow = (np.arange(R) // G)[:, None].repeat(W, 1)
-            tree_ids[srow[m], step[m]] = base + p.tree_of_pos(pos)[None, :].repeat(R, 0)[m]
+            trees = (base + p.tree_of_pos(pos) if p.kind == KIND_CHAR
+                     else np.full(W, base, np.int64))
+            tree_ids[srow[m], step[m]] = trees[None, :].repeat(R, 0)[m]
             valid[srow[m], step[m]] = True
         luts = plan.luts(cfg.max_code_len)
         sub_start = np.concatenate(
             [[0], np.cumsum(char_sub_n_words)[:-1]]).astype(np.int64)
         syms = bitpack.unpack_substreams_np(
             char_words, sub_start, luts, tree_ids, valid, T, cfg.max_code_len)
-        for f in char_fields:
+        srow1 = np.arange(R) // G
+        for f in walk_fields:
             p = plan.fields[f]
-            fl = field_lens[:R, f]
-            before = np.zeros(R, np.int64)
-            for g in char_fields:
-                if g == f:
-                    break
-                before += field_lens[:R, g]
+            if p.kind == KIND_NUMERIC:
+                step = np.clip(rec_step0[:R] + before_of[f], 0, T - 1)
+                sym = syms[srow1, step].astype(np.int64)
+                if p.hsub == NUM_VALUE:
+                    vals = sym + p.base
+                else:
+                    d = sym + p.base
+                    d[0] = 0
+                    vals = np.cumsum(d) + p.first
+                field_vals[f] = vals
+                field_lens[:R, f] = _ndigits(vals)
+                continue
+            fl = _walk_steps(f)
             W = int(fl.max())
             pos = np.arange(W, dtype=np.int64)
             m = pos[None, :] < fl[:, None]
-            step = np.clip(rec_step0[:R, None] + before[:, None] + pos[None, :], 0, T - 1)
-            srow = (np.arange(R) // G)[:, None].repeat(W, 1)
+            step = np.clip(rec_step0[:R, None] + before_of[f][:, None] + pos[None, :], 0, T - 1)
+            srow = srow1[:, None].repeat(W, 1)
             c = np.zeros((R, W), np.uint8)
             c[m] = syms[srow[m], step[m]].astype(np.uint8)
             contents[f] = c
@@ -772,6 +898,20 @@ def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
                 if p.blk_raw.shape[0]:
                     put_uint_array(bw, p.blk_raw, p.width)
                 continue
+            if p.mode == NUM_HUF:
+                # width==126 escape: shared-tree numeric Huffman
+                # (tasks.cpp:338-347 parity); payload rides the char walk
+                bw.put_bit(0)
+                bw.put_bits(_WIDTH_ESCAPE_HUF, 7)
+                bw.put_bit(p.hsub)
+                bw.put_bits(p.alpha, 10)
+                if p.hsub == NUM_VALUE:
+                    bw.put_uint(p.base, 8)
+                else:
+                    bw.put_uint(p.first, 8)
+                    bw.put_uint(_zigzag(p.base), 8)
+                huffman.store_table(bw, p.huf_lens, p.huf_sing)
+                continue
             bw.put_bit(p.mode)
             bw.put_bits(p.width, 7)
             if p.mode == NUM_VALUE:
@@ -833,6 +973,19 @@ def read_header(br: BitReader, R: int):
                 raw = get_uint_array(br, n_raw, wv).astype(np.uint64)
                 fields.append(NumericPlan(KIND_NUMERIC, NUM_BLOCK, wv, base,
                                           0, wzd, flags, a, d, raw))
+                continue
+            if width == _WIDTH_ESCAPE_HUF:
+                hsub = br.get_bit()
+                alpha = br.get_bits(10)
+                if hsub == NUM_VALUE:
+                    base, first = br.get_uint(8), 0
+                else:
+                    first = br.get_uint(8)
+                    base = _unzigzag(br.get_uint(8))
+                lens, sing = huffman.load_table(br, alpha)
+                fields.append(NumericPlan(KIND_NUMERIC, NUM_HUF, 0, base,
+                                          first, hsub=hsub, alpha=alpha,
+                                          huf_lens=lens, huf_sing=sing))
                 continue
             if mode == NUM_VALUE:
                 base, first = br.get_uint(8), 0

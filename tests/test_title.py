@@ -192,3 +192,80 @@ def test_block_descriptors_raw_blocks_exact():
         title.bit_length(int(vals.max() - vals.min())))
     got = title._block_values(plan, vals.shape[0])
     np.testing.assert_array_equal(got, vals)
+
+
+def _total_size(strings):
+    mat, lens = pack_titles(strings)
+    enc = title.encode(mat, lens, CFG)
+    bw = BitWriter()
+    title.write_header(bw, enc)
+    bw.flush()
+    return len(bw.getvalue()) + enc.byte_size()
+
+
+def _skewed_titles(n=512, seed=0):
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, 201) ** 1.3
+    tiles = rng.choice(np.arange(1, 201), size=n, p=w / w.sum())
+    xs = rng.integers(1000, 9999, n)
+    return [b"SRR001666.%d 071112_SLXA:5:%d:%d length=36" % (i + 1, t, x)
+            for i, (t, x) in enumerate(zip(tiles, xs))]
+
+
+def test_numeric_huffman_skewed_field():
+    # shared-tree numeric Huffman (tasks.cpp:338-347 parity): a skewed
+    # small-range field must pick NUM_HUF and round-trip byte-exactly
+    strings = _skewed_titles()
+    enc = roundtrip(strings)
+    modes = [p.mode for p in enc.plan.fields if p.kind == title.KIND_NUMERIC]
+    assert title.NUM_HUF in modes
+
+
+def test_numeric_huffman_beats_fixed_width():
+    # measured ratio win on the skewed synthetic vs the model without NUM_HUF
+    strings = _skewed_titles(seed=1)
+    sz = _total_size(strings)
+    orig = title._plan_numeric_huf
+    title._plan_numeric_huf = lambda *a, **k: None
+    try:
+        sz_no = _total_size(strings)
+    finally:
+        title._plan_numeric_huf = orig
+    assert sz < sz_no
+
+
+def test_numeric_huffman_delta_mode():
+    # slowly wandering ids: delta range is tiny and skewed -> delta-huffman
+    rng = np.random.default_rng(2)
+    steps = rng.choice([0, 1, 2, 16], size=511, p=[0.70, 0.2, 0.08, 0.02])
+    ids = 10_000_000 + np.concatenate([[0], np.cumsum(steps)])
+    strings = [b"@INST:4:%d Y" % v for v in ids]
+    enc = roundtrip(strings)
+    hufs = [p for p in enc.plan.fields
+            if p.kind == title.KIND_NUMERIC and p.mode == title.NUM_HUF]
+    assert hufs and hufs[0].hsub == title.NUM_DELTA
+
+
+def test_numeric_huffman_wide_alphabet_511():
+    # alphabet straight at the 512 cap: symbols up to 511 need the full
+    # 9-bit LUT symbol field
+    rng = np.random.default_rng(3)
+    vals = rng.choice([7, 8, 9, 511 + 7], size=600, p=[0.5, 0.3, 0.15, 0.05])
+    vals[0], vals[1] = 7, 511 + 7  # pin the range regardless of draw
+    strings = [b"F:%d" % v for v in vals]
+    enc = roundtrip(strings)
+    modes = [p.mode for p in enc.plan.fields if p.kind == title.KIND_NUMERIC]
+    assert title.NUM_HUF in modes
+
+
+def test_numeric_huffman_mixed_with_char_fields():
+    # NUM_HUF interleaved between char fields: walk-step ordering must match
+    rng = np.random.default_rng(4)
+    w = 1.0 / np.arange(1, 101) ** 1.5
+    lanes = rng.choice(np.arange(1, 101), size=400, p=w / w.sum())
+    tags = [b"AB", b"CDE", b"FG"]
+    strings = [b"%s:%d:%s" % (tags[i % 3], lane, tags[(i + 1) % 3])
+               for i, lane in enumerate(lanes)]
+    enc = roundtrip(strings)
+    modes = [p.mode for p in enc.plan.fields if p.kind == title.KIND_NUMERIC]
+    assert title.NUM_HUF in modes
