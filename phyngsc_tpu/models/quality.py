@@ -258,7 +258,7 @@ def pair_plan(tables: QualityTables, Lt: int):
     while len(tabs) < bucket:
         tabs.append(np.zeros(1 << lut_bits2, np.int32))
 
-    plan = (jnp.array(np.stack(tabs)), pair_ids, half_ids, lut_bits2)
+    plan = (jax.device_put(np.stack(tabs)), pair_ids, half_ids, lut_bits2)
     _PAIR_CACHE[key] = plan
     while len(_PAIR_CACHE) > _PAIR_CACHE_MAX:
         _PAIR_CACHE.pop(next(iter(_PAIR_CACHE)))

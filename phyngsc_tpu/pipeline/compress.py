@@ -118,6 +118,9 @@ def compress_to_file(buf: np.ndarray, out, cfg: Optional[CodecConfig] = None,
     t_start = time.perf_counter()
     tasks = iter_subblock_tasks(buf, regions, cfg)
     n_tasks = 0
+    from phyngsc_tpu.utils.shapes import BucketCtx
+
+    buckets = BucketCtx()  # one executable set per run: tails promote
 
     # per-writer incremental framing + footer bookkeeping; completed blocks
     # go straight to `out` (tasks run writer-major, so blocks land in the
@@ -185,7 +188,7 @@ def compress_to_file(buf: np.ndarray, out, cfg: Optional[CodecConfig] = None,
         for w, idx_slice in tasks:
             n_tasks += 1
             a_q.append((w, _timed("stage_a", w, lambda: sbmod.stage_a(
-                buf, idx_slice, cfg, codec, executor))))
+                buf, idx_slice, cfg, codec, executor, buckets))))
             if len(a_q) >= depth:
                 _advance_b()
             if len(b_q) >= depth:

@@ -66,6 +66,9 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
             yield wid, bytes(data[off : off + size])  # one block at a time
             off += size
 
+    from phyngsc_tpu.utils.shapes import BucketCtx
+
+    buckets = BucketCtx()  # one decode executable set per run: pads promote
     written = 0
     pending = []  # [(wid, _DStage)]
 
@@ -83,7 +86,7 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
                 "corrupt container")
 
     for wid, payload in blockmod.iter_subblocks(blocks()):
-        pending.append((wid, sbmod.decode_stage_a(payload, cfg)))
+        pending.append((wid, sbmod.decode_stage_a(payload, cfg, buckets)))
         if len(pending) >= max(cfg.pipeline_depth, 1):
             _drain_one()
     while pending:

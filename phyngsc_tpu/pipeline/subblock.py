@@ -102,7 +102,7 @@ class _StageA:
 
     __slots__ = ("R", "Lt", "L", "Rp", "lens_np", "tlens_np", "titles_np",
                  "is_delta", "seq_j", "lens_j", "qual_t", "keep",
-                 "counts_blob", "n_q_counts", "t_future", "crc")
+                 "counts_blob", "n_q_counts", "t_future", "crc", "buckets")
 
 
 class _StageB:
@@ -148,21 +148,25 @@ def _host_async(*arrays) -> None:
 
 
 def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
-            codec=None, executor=None) -> _StageA:
+            codec=None, executor=None, buckets=None) -> _StageA:
     """codec: optional parallel.mesh.ShardedSubblockCodec for multi-chip.
     executor: optional ThreadPoolExecutor — the host-heavy title encode runs
     on a worker thread, overlapping device dispatch of later stages (numpy
-    and the native runtime release the GIL)."""
+    and the native runtime release the GIL).
+    buckets: optional shapes.BucketCtx — per-run record-bucket registry that
+    promotes tail sub-blocks into an already-compiled bucket."""
     st = _StageA()
     st.t_future = None
     st.crc = None
+    st.buckets = buckets
     R = st.R = idx.n_records
     G = cfg.records_per_substream
     lens_np = st.lens_np = idx.seq_len.astype(np.int32)
     Lt = st.Lt = int(lens_np.max()) if R else 1
     L = st.L = bucket_length(Lt)
     n_shards = codec.n_data if codec is not None else 1
-    Rp = st.Rp = bucket_records(R, G, n_shards)
+    Rp = st.Rp = (buckets.pick(R, G, n_shards) if buckets is not None
+                  else bucket_records(R, G, n_shards))
 
     if Lt > 0xFFFF:
         from phyngsc_tpu.utils.fastq import FastqFormatError
@@ -195,14 +199,14 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
         span = buf[int(idx.title_start[0]) : int(idx.qual_end[-1]) + 1]
         st.crc = zlib.crc32(np.ascontiguousarray(span))
     st.is_delta = dna.detect_delta(seq_np[:R], lens_np)
-    lens_j = st.lens_j = jnp.array(lens_pad)
+    lens_j = st.lens_j = jax.device_put(lens_pad)
 
     if codec is not None:
-        seq_j = jnp.array(seq_np)
+        seq_j = jax.device_put(seq_np)
         if st.is_delta:
             seq_j = dna.delta_translate(seq_j, lens_j)
         st.seq_j = seq_j
-        qual_j = jnp.array(qual_np)
+        qual_j = jax.device_put(qual_np)
         q_counts, d_counts, st.qual_t, st.keep = codec.analyze(
             seq_j, qual_j, lens_j)
         st.n_q_counts = int(q_counts.shape[0]) * int(q_counts.shape[1])
@@ -210,7 +214,7 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     else:
         s_mode, s_words = transfer.pack_seq_np(seq_np)
         q_mode, q_words = transfer.pack_qual_np(qual_np)
-        blob_in = jnp.array(np.concatenate([s_words, q_words]))  # one H2D
+        blob_in = jax.device_put(np.concatenate([s_words, q_words]))  # one H2D
         st.seq_j, st.qual_t, st.keep, st.counts_blob = _analyze_all(
             blob_in, lens_j, is_delta=st.is_delta,
             seq_mode=s_mode, qual_mode=q_mode, L=L)
@@ -328,8 +332,8 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
         cap = 0 if plane else _word_cap(a.Rp // st.n_shards, a.L, G)
         q_words, q_sub, q_total, d_words, d_sub, d_total = codec.encode(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
-            jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
-            jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
+            jax.device_put(st.q_tables.codes), jax.device_put(st.q_tables.lens),
+            jax.device_put(st.d_plan.codes_tab), jax.device_put(st.d_plan.lens_tab),
             G, cap, st.d_plan.mode, pack,
         )
         st.blob_layout = [int(np.prod(x.shape)) for x in
@@ -347,10 +351,15 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
                 d_cap = _exact_cap(d_counts, np.full(256, 2, np.int64), S, worst)
             else:
                 d_cap = _exact_cap(d_counts, st.d_plan.lens_tab, S, worst)
+            if a.buckets is not None:
+                # share one _encode_all executable across tails: caps promote
+                # to an in-use bucket (bounded extra fetch beats a recompile)
+                q_cap = a.buckets.pick_words("enc_q", q_cap, worst)
+                d_cap = a.buckets.pick_words("enc_d", d_cap, worst)
         st.blob = _encode_all(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
-            jnp.array(st.q_tables.codes), jnp.array(st.q_tables.lens),
-            jnp.array(st.d_plan.codes_tab), jnp.array(st.d_plan.lens_tab),
+            jax.device_put(st.q_tables.codes), jax.device_put(st.q_tables.lens),
+            jax.device_put(st.d_plan.codes_tab), jax.device_put(st.d_plan.lens_tab),
             st.d_plan.mode, G, q_cap, d_cap, q_group, d_group, pack,
         )
         if plane:
@@ -450,10 +459,10 @@ class _DStage:
     __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob", "crc")
 
 
-def decode_stage_a(data: bytes, cfg: CodecConfig) -> _DStage:
+def decode_stage_a(data: bytes, cfg: CodecConfig, buckets=None) -> _DStage:
     st = _DStage()
     (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob,
-     st.crc) = _decode_dispatch(data, cfg)
+     st.crc) = _decode_dispatch(data, cfg, buckets)
     _host_async(st.blob)
     return st
 
@@ -495,7 +504,7 @@ class _DParsed:
                  "d_plan", "d_sub", "d_words")
 
 
-def _decode_parse(data: bytes, cfg: CodecConfig) -> _DParsed:
+def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     p = _DParsed()
     sections = []
     off = 0
@@ -546,21 +555,25 @@ def _decode_parse(data: bytes, cfg: CodecConfig) -> _DParsed:
     # Decode-side word buffers are padded to bucketed sizes (16K-word
     # granularity) so sub-blocks share compiled executables without paying
     # worst-case H2D transfer for mostly-empty buffers.
-    def _padded(words: np.ndarray) -> np.ndarray:
+    def _padded(words: np.ndarray, kind: str) -> np.ndarray:
         bucket = 1 << 14
         n = max((words.shape[0] + 8 + bucket - 1) // bucket * bucket, bucket)
+        if buckets is not None:
+            # share decode executables across tails: upload pad promotes to
+            # an in-use size (bounded zero-padding beats a recompile)
+            n = buckets.pick_words(kind, n)
         out = np.zeros(n, np.uint32)
         out[: words.shape[0]] = words
         return out
 
-    p.q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)))
+    p.q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)), "dec_q")
     p.pplan = quality.pair_plan(p.q_tables, Lt) if (not variable and R) else None
 
     br = BitReader(dna_sec)
     p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(br)
     p.is_delta = p.is_delta or is_delta_hdr
     br.align()
-    p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)))
+    p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), "dec_d")
     return p
 
 
@@ -568,22 +581,22 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
     """One-time H2D uploads for _decode_device (bench.py hoists this out of
     its device-only timing loop; pair LUT uploads are cached in pair_plan)."""
     dev = {
-        "q_words": jnp.array(p.q_words),
-        "q_sub": jnp.array(p.q_sub),
-        "lens": jnp.array(p.lens_pad),
-        "d_words": jnp.array(p.d_words),
-        "d_sub": jnp.array(p.d_sub),
+        "q_words": jax.device_put(p.q_words),
+        "q_sub": jax.device_put(p.q_sub),
+        "lens": jax.device_put(p.lens_pad),
+        "d_words": jax.device_put(p.d_words),
+        "d_sub": jax.device_put(p.d_sub),
     }
     if p.pplan is not None:
         _, pair_ids, half_ids, _ = p.pplan
         pair_vec, half_vec = quality.pair_step_vectors(
             pair_ids, half_ids, p.Lt, (p.G * p.L) // 2)
-        dev["pair_vec"] = jnp.array(pair_vec)
-        dev["half_vec"] = jnp.array(half_vec)
+        dev["pair_vec"] = jax.device_put(pair_vec)
+        dev["half_vec"] = jax.device_put(half_vec)
     else:
-        dev["q_luts"] = jnp.array(p.q_tables.luts(cfg.max_code_len))
+        dev["q_luts"] = jax.device_put(p.q_tables.luts(cfg.max_code_len))
     if p.d_plan.mode != dna.MODE_PLAIN:
-        dev["d_luts"] = jnp.array(p.d_plan.luts(cfg.max_code_len))
+        dev["d_luts"] = jax.device_put(p.d_plan.luts(cfg.max_code_len))
     return dev
 
 
@@ -626,11 +639,11 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
     return _fuse_seq_qual(seq_j, qual_j)
 
 
-def _decode_dispatch(data: bytes, cfg: CodecConfig):
+def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None):
     import time as _t
 
     t0 = _t.perf_counter()
-    p = _decode_parse(data, cfg)
+    p = _decode_parse(data, cfg, buckets)
     t0 = _tick("d.parse", t0)
     blob = _decode_device(p, _decode_device_inputs(p, cfg), cfg)
     _tick("d.device_dispatch", t0)

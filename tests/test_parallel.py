@@ -98,3 +98,33 @@ def test_sharded_encode_decodes_back():
         jnp.array(tables.luts(CFG.max_code_len)), L, G, CFG.max_code_len,
     )
     np.testing.assert_array_equal(np.asarray(got), qual)
+
+
+def test_bucket_ctx_promotes_tails():
+    from phyngsc_tpu.utils.shapes import BucketCtx, bucket_records
+
+    ctx = BucketCtx()
+    assert ctx.pick(65536, 64) == 65536
+    # tail promotes into the in-use bucket instead of minting 4096
+    assert ctx.pick(2318, 64) == 65536
+    # far-below-cap sizes keep their natural bucket (promotion bounded 16x)
+    assert ctx.pick(700, 64) == bucket_records(700, 64)
+    # fresh context: no cross-run leakage
+    assert BucketCtx().pick(2318, 64) == bucket_records(2318, 64)
+
+
+def test_bucket_ctx_word_caps():
+    from phyngsc_tpu.utils.shapes import BucketCtx
+
+    ctx = BucketCtx()
+    big = 28 * (1 << 14)
+    assert ctx.pick_words("q", big) == big
+    # small tail cap promotes to the in-use cap (within the absolute bound)
+    assert ctx.pick_words("q", 1 << 14) == big
+    # kinds are independent: dna's small cap must not see quality's big one
+    assert ctx.pick_words("d", 1 << 14) == 1 << 14
+    # beyond the absolute bound: keep natural
+    huge = big + BucketCtx.MAX_PROMOTE_WORDS + (1 << 14)
+    ctx2 = BucketCtx()
+    assert ctx2.pick_words("q", huge) == huge
+    assert ctx2.pick_words("q", 1 << 14) == 1 << 14
