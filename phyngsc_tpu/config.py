@@ -66,6 +66,12 @@ class CodecConfig:
     #: Deep enough to hide device→host fetch latency; each in-flight
     #: sub-block holds its device buffers (~4x the raw sub-block bytes).
     pipeline_depth: int = 4
+    #: Host worker threads for the host-heavy pipeline stages (record gather/
+    #: title encode in stage A, section assembly in stage C). 0 = one per
+    #: CPU. The reference burns P ranks × T OpenMP threads of host CPU
+    #: (phyNGSC.cpp:57-59,254); here host stages of different sub-blocks run
+    #: concurrently on this pool while device work stays in task order.
+    host_workers: int = 0
 
     def __post_init__(self) -> None:
         if self.max_code_len > 12:

@@ -151,44 +151,60 @@ def compress_to_file(buf: np.ndarray, out, cfg: Optional[CodecConfig] = None,
                 _write_block(b)
 
     writer_seconds = [0.0] * len(regions)
-    a_q: List = []  # [(writer_pos, _StageA)]
-    b_q: List = []  # [(writer_pos, _StageB)]
+    a_q: List = []  # [(writer_pos, Future[_StageA])]
+    b_q: List = []  # [(writer_pos, Future[bytes])]
 
     import concurrent.futures as cf
     import os as _os
+    import threading as _threading
     import time as _time
 
     timing = {} if _os.environ.get("PHYNGSC_TIMING") else None
     sbmod.TIMING = timing
+    t_lock = _threading.Lock()
 
-    def _timed(label, w, fn):
+    def _timed(label, w, fn, *args):
         t0 = _time.perf_counter()
-        r = fn()
+        r = fn(*args)
         dt = _time.perf_counter() - t0
-        writer_seconds[w] += dt
-        if timing is not None:
-            timing[label] = timing.get(label, 0.0) + dt
+        with t_lock:
+            writer_seconds[w] += dt
+            if timing is not None:
+                timing[label] = timing.get(label, 0.0) + dt
         return r
 
-    with cf.ThreadPoolExecutor(max_workers=2) as executor:
+    # Host-heavy stages A (gather/pack/dispatch + title encode) and C
+    # (section assembly) of DIFFERENT sub-blocks run concurrently on this
+    # pool — the reference's P×T host-thread utilization (phyNGSC.cpp:57-59).
+    # Stage B and every bucket/cap decision stay on the main thread in task
+    # order, so output bytes are deterministic regardless of thread timing.
+    workers = cfg.host_workers or (_os.cpu_count() or 2)
+    n_shards = codec.n_data if codec is not None else 1
+    G = cfg.records_per_substream
+    with cf.ThreadPoolExecutor(max_workers=max(2, workers)) as executor:
 
         def _advance_b():
-            w, a = a_q.pop(0)
-            b_q.append((w, _timed("stage_b", w, lambda: sbmod.stage_b(a, cfg, codec))))
+            w, fa = a_q.pop(0)
+            a = fa.result()
+            b = _timed("stage_b", w, sbmod.stage_b, a, cfg, codec)
+            b_q.append((w, executor.submit(_timed, "stage_c", w,
+                                           sbmod.stage_c, b, cfg)))
 
         def _advance_c():
-            w, b = b_q.pop(0)
+            w, fc = b_q.pop(0)
             # a payload for writer w means earlier writers are done — emit
             # their final partial blocks first, keeping writer-major order
             for v in range(w):
                 _finish_writer(v)
-            _sink(w, _timed("stage_c", w, lambda: sbmod.stage_c(b, cfg)))
+            _sink(w, fc.result())
 
         depth = max(cfg.pipeline_depth, 1)
         for w, idx_slice in tasks:
             n_tasks += 1
-            a_q.append((w, _timed("stage_a", w, lambda: sbmod.stage_a(
-                buf, idx_slice, cfg, codec, executor, buckets))))
+            rp = buckets.pick(idx_slice.n_records, G, n_shards)
+            a_q.append((w, executor.submit(
+                _timed, "stage_a", w, sbmod.stage_a,
+                buf, idx_slice, cfg, codec, executor, buckets, rp)))
             if len(a_q) >= depth:
                 _advance_b()
             if len(b_q) >= depth:

@@ -148,13 +148,16 @@ def _host_async(*arrays) -> None:
 
 
 def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
-            codec=None, executor=None, buckets=None) -> _StageA:
+            codec=None, executor=None, buckets=None, rp=None) -> _StageA:
     """codec: optional parallel.mesh.ShardedSubblockCodec for multi-chip.
     executor: optional ThreadPoolExecutor — the host-heavy title encode runs
     on a worker thread, overlapping device dispatch of later stages (numpy
     and the native runtime release the GIL).
     buckets: optional shapes.BucketCtx — per-run record-bucket registry that
-    promotes tail sub-blocks into an already-compiled bucket."""
+    promotes tail sub-blocks into an already-compiled bucket. When the driver
+    runs stage A on worker threads it picks `rp` itself on the main thread in
+    task order (BucketCtx decisions are history-dependent, so concurrent
+    picks would make output bytes timing-dependent)."""
     st = _StageA()
     st.t_future = None
     st.crc = None
@@ -165,7 +168,8 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     Lt = st.Lt = int(lens_np.max()) if R else 1
     L = st.L = bucket_length(Lt)
     n_shards = codec.n_data if codec is not None else 1
-    Rp = st.Rp = (buckets.pick(R, G, n_shards) if buckets is not None
+    Rp = st.Rp = (rp if rp is not None
+                  else buckets.pick(R, G, n_shards) if buckets is not None
                   else bucket_records(R, G, n_shards))
 
     if Lt > 0xFFFF:
