@@ -259,4 +259,114 @@ void phyngsc_title_scan(const uint8_t *titles, const int32_t *tlens,
   }
 }
 
+// FASTQ text reassembly: per-record memcpy of title/seq/qual rows into the
+// output buffer at precomputed record offsets (twin of the decompressor's
+// subblock._reassemble scatter — the numpy fancy-indexing version builds
+// tens of MB of index arrays per sub-block and was the decode host wall).
+// offs: (R,) absolute byte offset of each record in out; layout per record is
+// title \n seq \n + \n qual \n (mirrors utils/fastq.index_records spans).
+void phyngsc_fastq_assemble(const uint8_t *titles, const int32_t *tlens,
+                            int64_t TL, const uint8_t *seq,
+                            const uint8_t *qual, const int32_t *lens,
+                            int64_t L, const int64_t *offs, int64_t R,
+                            uint8_t *out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < R; ++r) {
+    uint8_t *o = out + offs[r];
+    const int32_t tl = tlens[r], sl = lens[r];
+    memcpy(o, titles + r * TL, (size_t)tl);
+    o += tl;
+    *o++ = '\n';
+    memcpy(o, seq + r * L, (size_t)sl);
+    o += sl;
+    *o++ = '\n';
+    *o++ = '+';
+    *o++ = '\n';
+    memcpy(o, qual + r * L, (size_t)sl);
+    o += sl;
+    *o++ = '\n';
+  }
+}
+
+// Fused title walk: decodes the title char stream substream-parallel and
+// writes symbols DIRECTLY into per-field content matrices — the numpy path
+// (models/title.decode) materializes (S,T) tree-id/valid maps plus (R,W)
+// index matrices per field, which measured as the decompressor's host wall.
+// Fields appear in walk order (mirrors title._char_symbols' column order):
+//   kind 0 = char field: steps[r,f] symbols, tree = base + min(pos, nt-1)
+//   kind 1 = NUM_HUF numeric: 1 symbol/record from the field's shared tree
+// out is the concatenation of per-field (R, out_w[f]) int32 row-major blocks
+// at out_off[f] (elements).
+void phyngsc_title_walk(const uint32_t *words, int64_t n_words,
+                        const int64_t *sub_word_start, int64_t S, int64_t G,
+                        const int32_t *luts, int32_t lut_bits,
+                        int32_t F, const int32_t *tree_base,
+                        const int32_t *n_trees, const int32_t *kind,
+                        const int32_t *steps /* (R, F) */, int64_t R,
+                        const int64_t *out_off, const int32_t *out_w,
+                        int32_t *out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < S; ++s) {
+    int64_t wi = sub_word_start[s];
+    uint32_t bit = 0;
+    const int64_t r_end = (s + 1) * G < R ? (s + 1) * G : R;
+    for (int64_t r = s * G; r < r_end; ++r) {
+      for (int32_t f = 0; f < F; ++f) {
+        const int32_t ns = kind[f] ? 1 : steps[r * F + f];
+        const int32_t nt = n_trees[f];
+        int32_t *o = out + out_off[f] + r * out_w[f];
+        for (int32_t pos = 0; pos < ns; ++pos) {
+          const int32_t tree =
+              tree_base[f] + (pos < nt - 1 ? pos : nt - 1);
+          uint32_t w1 = (wi >= 0 && wi < n_words) ? words[wi] : 0;
+          uint32_t w2 = (wi + 1 < n_words) ? words[wi + 1] : 0;
+          uint32_t win = bit ? ((w1 << bit) | (w2 >> (32 - bit))) : w1;
+          uint32_t idx = win >> (32 - (uint32_t)lut_bits);
+          int32_t entry = luts[((int64_t)tree << lut_bits) | idx];
+          o[pos] = entry & 0x1FF;
+          bit += (uint32_t)(entry >> 9);
+          wi += bit >> 5;
+          bit &= 31u;
+        }
+      }
+    }
+  }
+}
+
+// Fused title reassembly: write each record's fields (decimal numerics from
+// precomputed values + digit counts, raw char bytes) and separators into the
+// (R, TL) title matrix. Twin of the numpy scatter tail of title.decode.
+//   kinds: 0 numeric, 1 char;  nvals: (R,) int64 per numeric field packed
+//   field-major at nval_off[f]*R;  chars: int32 symbol blocks as produced by
+//   phyngsc_title_walk, at char_off[f] with row width char_w[f].
+void phyngsc_title_assemble(int32_t F, const int32_t *kinds,
+                            const int32_t *field_lens /* (R, F) */,
+                            const int64_t *nvals, const int64_t *nval_off,
+                            const int32_t *chars, const int64_t *char_off,
+                            const int32_t *char_w, const uint8_t *seps,
+                            int64_t R, int64_t TL, uint8_t *titles) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < R; ++r) {
+    uint8_t *t = titles + r * TL;
+    int64_t c = 0;
+    for (int32_t f = 0; f < F; ++f) {
+      const int32_t fl = field_lens[r * F + f];
+      if (kinds[f] == 0) {
+        int64_t v = nvals[nval_off[f] + r];
+        for (int32_t i = fl - 1; i >= 0; --i) {
+          t[c + i] = (uint8_t)('0' + (v % 10));
+          v /= 10;
+        }
+        c += fl;
+      } else {
+        const int32_t *src = chars + char_off[f] + r * char_w[f];
+        for (int32_t i = 0; i < fl; ++i) t[c + i] = (uint8_t)src[i];
+        c += fl;
+      }
+      if (f < F - 1) t[c++] = seps[f];
+    }
+    while (c < TL) t[c++] = 0;
+  }
+}
+
 }  // extern "C"

@@ -767,6 +767,54 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
     if walk_fields and R:
         G = cfg.records_per_substream
         S = Rp // G
+        sub_start = np.concatenate(
+            [[0], np.cumsum(char_sub_n_words)[:-1]]).astype(np.int64)
+        luts = plan.luts(cfg.max_code_len)
+
+        # native fused walk: decodes straight into per-field matrices
+        # (no (S,T) tree maps / (R,W) index matrices — the numpy path below
+        # measured as the decompressor's host wall)
+        from phyngsc_tpu.utils import native
+
+        Fw = len(walk_fields)
+        steps = np.empty((R, Fw), np.int32)
+        kinds_w = np.empty(Fw, np.int32)
+        tb = np.empty(Fw, np.int32)
+        ntr = np.empty(Fw, np.int32)
+        ow = np.empty(Fw, np.int32)
+        for j, f in enumerate(walk_fields):
+            p = plan.fields[f]
+            tb[j] = plan.char_tree_base(f)
+            if p.kind == KIND_CHAR:
+                steps[:, j] = field_lens[:R, f]
+                kinds_w[j] = 0
+                ntr[j] = p.tables_lens.shape[0]
+                ow[j] = int(field_lens[:R, f].max())
+            else:
+                steps[:, j] = 1
+                kinds_w[j] = 1
+                ntr[j] = 1
+                ow[j] = 1
+        blocks = native.title_walk(char_words, sub_start, G, luts,
+                                   cfg.max_code_len, tb, ntr, kinds_w,
+                                   steps, R, ow)
+        if blocks is not None:
+            for j, f in enumerate(walk_fields):
+                p = plan.fields[f]
+                if p.kind == KIND_CHAR:
+                    contents[f] = blocks[j]
+                else:
+                    sym = blocks[j][:, 0].astype(np.int64)
+                    if p.hsub == NUM_VALUE:
+                        vals = sym + p.base
+                    else:
+                        d = sym + p.base
+                        d[0] = 0
+                        vals = np.cumsum(d) + p.first
+                    field_vals[f] = vals
+                    field_lens[:R, f] = _ndigits(vals)
+            return _assemble_titles(plan, field_vals, field_lens,
+                                    contents, R)
 
         def _walk_steps(f):
             p = plan.fields[f]
@@ -805,9 +853,6 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
                      else np.full(W, base, np.int64))
             tree_ids[srow[m], step[m]] = trees[None, :].repeat(R, 0)[m]
             valid[srow[m], step[m]] = True
-        luts = plan.luts(cfg.max_code_len)
-        sub_start = np.concatenate(
-            [[0], np.cumsum(char_sub_n_words)[:-1]]).astype(np.int64)
         syms = bitpack.unpack_substreams_np(
             char_words, sub_start, luts, tree_ids, valid, T, cfg.max_code_len)
         srow1 = np.arange(R) // G
@@ -835,9 +880,50 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
             c[m] = syms[srow[m], step[m]].astype(np.uint8)
             contents[f] = c
 
-    # reassembly
+    return _assemble_titles(plan, field_vals, field_lens, contents, R)
+
+
+def _assemble_titles(plan: TitlePlan, field_vals: dict, field_lens: np.ndarray,
+                     contents: dict, R: int):
+    """Rebuild the (R, TL) title matrix from decoded fields: native fused
+    per-record writer when available, else a vectorized numpy scatter."""
     tlens = field_lens.sum(axis=1) + max(plan.n_fields - 1, 0)
     TL = int(tlens.max()) if R else 0
+    F = plan.n_fields
+    if R:
+        from phyngsc_tpu.utils import native
+
+        kinds = np.array([p.kind for p in plan.fields], np.int32)
+        nvals_list: list = []
+        nval_off = np.zeros(F, np.int64)
+        chars_list: list = []
+        char_off = np.zeros(F, np.int64)
+        char_w = np.zeros(F, np.int32)
+        nacc = cacc = 0
+        for f, p in enumerate(plan.fields):
+            if p.kind == KIND_NUMERIC:
+                nvals_list.append(
+                    np.ascontiguousarray(field_vals[f], np.int64))
+                nval_off[f] = nacc
+                nacc += R
+            else:
+                c = contents.get(f)
+                w = 0 if c is None else c.shape[1]
+                if w:
+                    chars_list.append(
+                        np.ascontiguousarray(c, np.int32).reshape(-1))
+                char_off[f] = cacc
+                char_w[f] = w
+                cacc += R * w
+        titles = native.title_assemble(
+            kinds, field_lens,
+            np.concatenate(nvals_list) if nvals_list else np.zeros(0, np.int64),
+            nval_off,
+            np.concatenate(chars_list) if chars_list else np.zeros(0, np.int32),
+            char_off, char_w, plan.tok_schema.sep_chars, TL)
+        if titles is not None:
+            return (titles[:, :TL] if TL else titles[:, :0],
+                    tlens.astype(np.int32))
     titles = np.zeros((R, max(TL, 1)), np.uint8)
     col0 = np.zeros(R, np.int64)
     for f, p in enumerate(plan.fields):

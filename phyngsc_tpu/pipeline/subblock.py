@@ -655,9 +655,18 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None):
 
 
 def _reassemble(R, lens_np, titles_np, tlens_np, seq_np, qual_np) -> bytes:
-    # reassemble FASTQ text (vectorized scatter)
+    # reassemble FASTQ text: native per-record memcpy (OpenMP) when
+    # available, else a vectorized numpy scatter
     rec_bytes = tlens_np.astype(np.int64) + 1 + lens_np.astype(np.int64) + 1 + 2 + lens_np.astype(np.int64) + 1
     offs = np.concatenate([[0], np.cumsum(rec_bytes)])
+    if R:
+        from phyngsc_tpu.utils import native
+
+        res = native.fastq_assemble(titles_np[:R], tlens_np[:R], seq_np[:R],
+                                    qual_np[:R], lens_np[:R], offs[:-1],
+                                    int(offs[-1]))
+        if res is not None:
+            return res
     out = np.zeros(int(offs[-1]), np.uint8)
 
     def scatter(mat, mlens, base):

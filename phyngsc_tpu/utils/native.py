@@ -63,6 +63,27 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32,
         i32p, i32p, ctypes.c_void_p, i64p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "phyngsc_fastq_assemble"):
+        lib.phyngsc_fastq_assemble.restype = None
+        lib.phyngsc_fastq_assemble.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, i32p, ctypes.c_int64,
+            i64p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+    if hasattr(lib, "phyngsc_title_walk"):
+        lib.phyngsc_title_walk.restype = None
+        lib.phyngsc_title_walk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.c_int64, i32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, ctypes.c_int64, i64p, i32p,
+            i32p,
+        ]
+    if hasattr(lib, "phyngsc_title_assemble"):
+        lib.phyngsc_title_assemble.restype = None
+        lib.phyngsc_title_assemble.argtypes = [
+            ctypes.c_int32, i32p, i32p, i64p, i64p, i32p, i64p, i32p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
     if hasattr(lib, "phyngsc_unpack_substreams"):
         lib.phyngsc_unpack_substreams.restype = None
         lib.phyngsc_unpack_substreams.argtypes = [
@@ -178,6 +199,99 @@ def unpack_substreams(words: np.ndarray, sub_word_start: np.ndarray,
         out.ctypes.data_as(i32p),
     )
     return out
+
+
+def fastq_assemble(titles: np.ndarray, tlens: np.ndarray, seq: np.ndarray,
+                   qual: np.ndarray, lens: np.ndarray, offs: np.ndarray,
+                   total: int) -> Optional[bytes]:
+    """Per-record memcpy reassembly of FASTQ text (title\\nseq\\n+\\nqual\\n).
+    Twin of the decompressor's numpy scatter. Returns bytes or None when the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_fastq_assemble"):
+        return None
+    titles = np.ascontiguousarray(titles, dtype=np.uint8)
+    tlens = np.ascontiguousarray(tlens, dtype=np.int32)
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    qual = np.ascontiguousarray(qual, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    R = tlens.shape[0]
+    out = np.empty(total, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.phyngsc_fastq_assemble(
+        titles.ctypes.data, tlens.ctypes.data_as(i32p),
+        titles.shape[1] if titles.ndim == 2 else 0,
+        seq.ctypes.data, qual.ctypes.data, lens.ctypes.data_as(i32p),
+        seq.shape[1] if seq.ndim == 2 else 0,
+        _i64p(offs), R, out.ctypes.data,
+    )
+    return out.tobytes()
+
+
+def title_walk(words: np.ndarray, sub_word_start: np.ndarray, G: int,
+               luts: np.ndarray, lut_bits: int, tree_base: np.ndarray,
+               n_trees: np.ndarray, kinds: np.ndarray, steps: np.ndarray,
+               R: int, out_w: np.ndarray):
+    """Fused title-stream walk: returns a list of per-field (R, out_w[f])
+    int32 symbol matrices, or None when the native lib is unavailable.
+    kinds: 0 = char field (steps[r,f] symbols), 1 = NUM_HUF (1/record)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_title_walk"):
+        return None
+    words = np.concatenate([np.ascontiguousarray(words, np.uint32),
+                            np.zeros(2, np.uint32)])
+    sub_word_start = np.ascontiguousarray(sub_word_start, np.int64)
+    luts = np.ascontiguousarray(luts, np.int32)
+    tree_base = np.ascontiguousarray(tree_base, np.int32)
+    n_trees = np.ascontiguousarray(n_trees, np.int32)
+    kinds = np.ascontiguousarray(kinds, np.int32)
+    steps = np.ascontiguousarray(steps, np.int32)
+    out_w = np.ascontiguousarray(out_w, np.int32)
+    F = int(kinds.shape[0])
+    sizes = out_w.astype(np.int64) * R
+    out_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    out = np.empty(int(sizes.sum()), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.phyngsc_title_walk(
+        words.ctypes.data, words.shape[0], _i64p(sub_word_start),
+        sub_word_start.shape[0], G, luts.ctypes.data_as(i32p), lut_bits, F,
+        tree_base.ctypes.data_as(i32p), n_trees.ctypes.data_as(i32p),
+        kinds.ctypes.data_as(i32p), steps.ctypes.data_as(i32p), R,
+        _i64p(out_off), out_w.ctypes.data_as(i32p),
+        out.ctypes.data_as(i32p),
+    )
+    return [out[out_off[j] : out_off[j] + sizes[j]].reshape(R, int(out_w[j]))
+            for j in range(F)]
+
+
+def title_assemble(kinds: np.ndarray, field_lens: np.ndarray,
+                   nvals: np.ndarray, nval_off: np.ndarray,
+                   chars: np.ndarray, char_off: np.ndarray,
+                   char_w: np.ndarray, seps: np.ndarray,
+                   TL: int) -> Optional[np.ndarray]:
+    """Fused title text reassembly → (R, TL) uint8, or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_title_assemble"):
+        return None
+    kinds = np.ascontiguousarray(kinds, np.int32)
+    field_lens = np.ascontiguousarray(field_lens, np.int32)
+    nvals = np.ascontiguousarray(nvals, np.int64)
+    nval_off = np.ascontiguousarray(nval_off, np.int64)
+    chars = np.ascontiguousarray(chars, np.int32)
+    char_off = np.ascontiguousarray(char_off, np.int64)
+    char_w = np.ascontiguousarray(char_w, np.int32)
+    seps = np.ascontiguousarray(seps, np.uint8)
+    R, F = field_lens.shape
+    titles = np.empty((R, max(TL, 1)), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.phyngsc_title_assemble(
+        F, kinds.ctypes.data_as(i32p), field_lens.ctypes.data_as(i32p),
+        _i64p(nvals), _i64p(nval_off), chars.ctypes.data_as(i32p),
+        _i64p(char_off), char_w.ctypes.data_as(i32p), seps.ctypes.data,
+        R, max(TL, 1), titles.ctypes.data,
+    )
+    return titles
 
 
 def huffman_lengths(hist: np.ndarray, max_len: int):
