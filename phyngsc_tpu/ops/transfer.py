@@ -16,8 +16,11 @@ record's length) are canonicalized ('A' / chr(33)) — every consumer masks
 by record length, so their value is never observed.
 
 Modes: SEQ_2BIT uses the (c >> 1) & 3 nucleotide code (A→0 C→1 T→2 G→3, a
-bijection on ACGT); QUAL_6BIT stores q − 33. *_RAW falls back to 4 bytes
-per word (IUPAC-rich DNA, SOLiD color space, exotic quality ranges).
+bijection on ACGT); SEQ_3BIT adds N (code 4) for the very common ACGTN
+planes — real Illumina data almost always carries a few no-calls, and raw
+bytes would cost 2.67x the upload; QUAL_6BIT stores q − 33. *_RAW falls
+back to 4 bytes per word (IUPAC-rich DNA, SOLiD color space, exotic
+quality ranges).
 """
 
 from __future__ import annotations
@@ -30,15 +33,16 @@ import numpy as np
 
 SEQ_RAW = 0
 SEQ_2BIT = 1
+SEQ_3BIT = 2
 QUAL_RAW = 0
 QUAL_6BIT = 1
 
-_PER = {2: 16, 6: 5, 8: 4}  # width -> values per uint32 word
+_PER = {2: 16, 3: 10, 6: 5, 8: 4}  # width -> values per uint32 word
 
 
 def _width(kind: str, mode: int) -> int:
     if kind == "seq":
-        return 2 if mode == SEQ_2BIT else 8
+        return {SEQ_2BIT: 2, SEQ_3BIT: 3}.get(mode, 8)
     return 6 if mode == QUAL_6BIT else 8
 
 
@@ -62,6 +66,9 @@ def pack_seq_np(seq: np.ndarray):
     acgt = (f == 0) | (f == 65) | (f == 67) | (f == 71) | (f == 84)
     if acgt.all():
         return SEQ_2BIT, _pack_fixed_np((f >> 1) & 3, 2)
+    if (acgt | (f == 78)).all():  # ACGTN: N -> code 4
+        v = np.where(f == 78, 4, (f >> 1) & 3).astype(np.uint32)
+        return SEQ_3BIT, _pack_fixed_np(v, 3)
     return SEQ_RAW, _pack_fixed_np(f, 8)
 
 
@@ -87,10 +94,11 @@ def unpack_seq(words: jnp.ndarray, mode: int, R: int, L: int) -> jnp.ndarray:
     (2-bit padding decodes to 'A'; consumers mask by record length)."""
     if mode == SEQ_RAW:
         return _unpack_words(words, 8, R, L).astype(jnp.uint8)
-    v = _unpack_words(words, 2, R, L)
-    # inverse of (c >> 1) & 3: 0→'A' 1→'C' 2→'T' 3→'G'
+    v = _unpack_words(words, 2 if mode == SEQ_2BIT else 3, R, L)
+    # inverse of the nucleotide code: 0→'A' 1→'C' 2→'T' 3→'G' (4→'N')
     chars = (jnp.uint32(65) + jnp.where(v == 1, 2, 0)
-             + jnp.where(v == 2, 19, 0) + jnp.where(v == 3, 6, 0))
+             + jnp.where(v == 2, 19, 0) + jnp.where(v == 3, 6, 0)
+             + jnp.where(v == 4, 13, 0))
     return chars.astype(jnp.uint8)
 
 

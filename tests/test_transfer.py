@@ -53,3 +53,21 @@ def test_packed_sizes():
     assert transfer.n_words(33, "seq", transfer.SEQ_2BIT) == 3
     assert transfer.n_words(10, "qual", transfer.QUAL_6BIT) == 2
     assert transfer.n_words(10, "seq", transfer.SEQ_RAW) == 3
+
+
+def test_seq_3bit_acgtn_roundtrip():
+    import numpy as np
+
+    from phyngsc_tpu.ops import transfer
+
+    rng = np.random.default_rng(0)
+    seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(333, 37))
+    seq[5, 7:] = 0  # padding bytes
+    mode, words = transfer.pack_seq_np(seq)
+    assert mode == transfer.SEQ_3BIT
+    assert words.shape[0] == transfer.n_words(seq.size, "seq", mode)
+    # 2.5x smaller than raw (10 values per word vs 4)
+    assert words.shape[0] <= transfer.n_words(seq.size, "seq", transfer.SEQ_RAW) * 0.41
+    out = np.asarray(transfer.unpack_seq(words, mode, 333, 37))
+    valid = seq != 0
+    np.testing.assert_array_equal(out[valid], seq[valid])
