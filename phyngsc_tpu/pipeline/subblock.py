@@ -27,7 +27,7 @@ import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.models import dna, quality, title
-from phyngsc_tpu.ops import bitpack, transfer
+from phyngsc_tpu.ops import bitpack, lookup, transfer
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter
 from phyngsc_tpu.utils.fastq import RecordIndex
 from phyngsc_tpu.utils.shapes import bucket_length, bucket_records
@@ -239,6 +239,53 @@ def _keep_from_quality(qual_t, lens):
 @jax.jit
 def _fuse_seq_qual(seq, qual):
     return jnp.stack([seq, qual])
+
+
+#: lane widths -> values per uint32 word (same layout as ops/transfer)
+_OUT_PER = {2: 16, 3: 10, 4: 8, 6: 5, 8: 4}
+
+
+def _out_fetch_words(n: int, w: int, q6: bool) -> tuple:
+    per_s = _OUT_PER[w]
+    per_q = 5 if q6 else 4
+    return (n + per_s - 1) // per_s, (n + per_q - 1) // per_q
+
+
+def _lane_pack_j(vals: jnp.ndarray, w: int) -> jnp.ndarray:
+    per = _OUT_PER[w]
+    pad = (-vals.shape[0]) % per
+    if pad:
+        vals = jnp.concatenate([vals, jnp.zeros(pad, vals.dtype)])
+    shifts = jnp.asarray(32 - w * (np.arange(per) + 1), jnp.uint32)
+    return jnp.sum(vals.reshape(-1, per).astype(jnp.uint32)
+                   << shifts[None, :], axis=1, dtype=jnp.uint32)
+
+
+def _lane_unpack_np(words: np.ndarray, w: int, n: int) -> np.ndarray:
+    per = _OUT_PER[w]
+    shifts = (32 - w * (np.arange(per) + 1)).astype(np.uint32)
+    lanes = (words[:, None] >> shifts[None, :]) & np.uint32((1 << w) - 1)
+    return lanes.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "q6"))
+def _pack_out(seq, qual, idx_tab, w, q6):
+    """Packed decode-output fetch: the (2, Rp, L) uint8 planes are the
+    decompressor's dominant relay/PCIe transfer — the restored alphabet is
+    host-known (DNA plan symbols ∪ restored IUPAC chars), so seq ships as a
+    w-bit alphabet index and quality as q-33 in 6 bits when the range
+    allows. Inverse of ops/transfer's H2D packing, same lane layout."""
+    L = seq.shape[1]
+    tab = jnp.broadcast_to(idx_tab[None, :], (L, 256))
+    idx = lookup.fused_lookup(seq, tab).reshape(-1)
+    sw = _lane_pack_j(idx, w)
+    q = qual.astype(jnp.int32).reshape(-1)
+    if q6:
+        qv = jnp.where(q < 33, 0, q - 33)
+        qw = _lane_pack_j(qv, 6)
+    else:
+        qw = _lane_pack_j(q, 8)
+    return jnp.concatenate([sw, qw])
 
 
 @jax.jit
@@ -458,15 +505,17 @@ def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> byte
 
 class _DStage:
     """Decode stage A result: everything parsed/dispatched, the fused
-    (seq, qual) device blob pending fetch."""
+    (seq, qual) device blob pending fetch. out_meta is (alpha, q6, Rp, L)
+    when the blob is lane-packed (see _pack_out), else None."""
 
-    __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob", "crc")
+    __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob", "crc",
+                 "out_meta")
 
 
 def decode_stage_a(data: bytes, cfg: CodecConfig, buckets=None) -> _DStage:
     st = _DStage()
     (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob,
-     st.crc) = _decode_dispatch(data, cfg, buckets)
+     st.crc, st.out_meta) = _decode_dispatch(data, cfg, buckets)
     _host_async(st.blob)
     return st
 
@@ -477,8 +526,20 @@ def decode_stage_b(st: _DStage) -> bytes:
     t0 = _t.perf_counter()
     both = np.asarray(st.blob)
     t0 = _tick("d.fetch", t0)
-    out = _reassemble(st.R, st.lens_np, st.titles_np, st.tlens_np,
-                      both[0, : st.R], both[1, : st.R])
+    if st.out_meta is not None:
+        alpha, q6, Rp, L = st.out_meta
+        n = Rp * L
+        w = _out_width(alpha.shape[0])
+        n_sw, n_qw = _out_fetch_words(n, w, q6)
+        seq = alpha[_lane_unpack_np(both[:n_sw], w, n)].reshape(Rp, L)[: st.R]
+        if q6:
+            q = _lane_unpack_np(both[n_sw : n_sw + n_qw], 6, n) + 33
+        else:
+            q = _lane_unpack_np(both[n_sw : n_sw + n_qw], 8, n)
+        qual = q.astype(np.uint8).reshape(Rp, L)[: st.R]
+    else:
+        seq, qual = both[0, : st.R], both[1, : st.R]
+    out = _reassemble(st.R, st.lens_np, st.titles_np, st.tlens_np, seq, qual)
     _tick("d.reassemble", t0)
     if st.crc is not None:
         import zlib
@@ -505,7 +566,7 @@ class _DParsed:
     __slots__ = ("R", "Lt", "L", "Rp", "G", "variable", "is_delta", "crc",
                  "lens_np", "lens_pad", "titles_np", "tlens_np",
                  "q_tables", "q_sub", "q_words", "pplan",
-                 "d_plan", "d_sub", "d_words")
+                 "d_plan", "d_sub", "d_words", "out_alpha", "q6")
 
 
 def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
@@ -578,6 +639,33 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     p.is_delta = p.is_delta or is_delta_hdr
     br.align()
     p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), "dec_d")
+
+    # restored-output alphabet for the packed D2H fetch: provably complete —
+    # kept positions hold DNA-plan symbols (plain mode only fires on pure
+    # ACGT, dna.plan:217), transferred positions restore to AMB_CHAR chars
+    # derivable from the quality tables' >=128 symbols
+    if p.d_plan.mode == dna.MODE_PLAIN:
+        dsyms = {65, 67, 71, 84}
+    else:
+        dsyms = set(np.flatnonzero(p.d_plan.lens_tab).tolist())
+        if p.d_plan.singleton >= 0:
+            dsyms.add(int(p.d_plan.singleton))
+    qpresent = set(np.flatnonzero(
+        np.count_nonzero(p.q_tables.lens, axis=0)).tolist())
+    qpresent |= {int(s) for s in p.q_tables.singletons if s >= 0}
+    restored_q = [33]
+    rest_chars = set()
+    for s in qpresent:
+        if s >= 128:
+            code = min(max((s - 128 + 16) >> 3, 0), 16)
+            rest_chars.add(int(dna.AMB_CHAR[code]))
+            restored_q.append((s - 128 + 16) - (code << 3) + 33)
+        else:
+            restored_q.append(s)
+    p.q6 = max(restored_q) <= 96
+    alpha = sorted(dsyms | rest_chars)
+    p.out_alpha = (np.array(alpha, np.uint8)
+                   if 0 < len(alpha) <= 16 and R else None)
     return p
 
 
@@ -601,7 +689,15 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
         dev["q_luts"] = jax.device_put(p.q_tables.luts(cfg.max_code_len))
     if p.d_plan.mode != dna.MODE_PLAIN:
         dev["d_luts"] = jax.device_put(p.d_plan.luts(cfg.max_code_len))
+    if p.out_alpha is not None:
+        idx_tab = np.zeros(256, np.int32)
+        idx_tab[p.out_alpha] = np.arange(p.out_alpha.shape[0], dtype=np.int32)
+        dev["out_tab"] = jax.device_put(idx_tab)
     return dev
+
+
+def _out_width(n_alpha: int) -> int:
+    return 2 if n_alpha <= 4 else 3 if n_alpha <= 8 else 4
 
 
 def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
@@ -640,6 +736,9 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
     seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens_j)
     if p.is_delta:
         seq_j = dna.delta_untranslate(seq_j, lens_j)
+    if p.out_alpha is not None and not p.is_delta:
+        return _pack_out(seq_j, qual_j, dev["out_tab"],
+                         _out_width(p.out_alpha.shape[0]), p.q6)
     return _fuse_seq_qual(seq_j, qual_j)
 
 
@@ -651,7 +750,9 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None):
     t0 = _tick("d.parse", t0)
     blob = _decode_device(p, _decode_device_inputs(p, cfg), cfg)
     _tick("d.device_dispatch", t0)
-    return p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc
+    out_meta = ((p.out_alpha, p.q6, p.Rp, p.L)
+                if p.out_alpha is not None and not p.is_delta else None)
+    return p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc, out_meta
 
 
 def _reassemble(R, lens_np, titles_np, tlens_np, seq_np, qual_np) -> bytes:

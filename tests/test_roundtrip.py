@@ -155,3 +155,32 @@ def test_rows_pack_roundtrip(monkeypatch):
         monkeypatch.setenv("PHYNGSC_PACK", mode)
         outs.append(check(data, n_writers=2))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_packed_output_fetch_edge_alphabets():
+    """Decode D2H lane packing: high quality values (q6 off), IUPAC-rich
+    DNA (wide alphabet / raw fallback), and pure ACGT (2-bit) all round-trip."""
+    import numpy as np
+
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+
+    rng = np.random.default_rng(0)
+    cfg = CodecConfig(subblock_input_bytes=1 << 21, max_records_per_subblock=2048)
+
+    def fastq(seq_alpha, qlo, qhi, n=900, L=31):
+        recs = []
+        for i in range(n):
+            s = rng.choice(np.frombuffer(seq_alpha, np.uint8), size=L).tobytes()
+            q = rng.integers(qlo, qhi + 1, L).astype(np.uint8).tobytes()
+            recs.append(b"@r%d x\n%s\n+\n%s\n" % (i, s, q))
+        return b"".join(recs)
+
+    for data in (
+        fastq(b"ACGT", 33, 73),          # 2-bit seq index, 6-bit qual
+        fastq(b"ACGTN", 33, 126),        # 3-bit seq index, q6 off
+        fastq(b"ACGTNRYSWKMBDHV", 35, 40),  # wide IUPAC: raw fallback likely
+    ):
+        comp = compress_bytes(data, cfg, 1)
+        assert decompress_bytes(comp) == data
