@@ -134,13 +134,19 @@ def main() -> int:
               f"(ours/ref {ours_full/ref_full:.3f})")
         print(f"ours sections: { {k: v for k, v in ours_sections.items()} }")
         for stream, var in variants.items():
-            ref_delta = ref_full - ref_compress_size(args.ref, var)
+            ref_var = ref_compress_size(args.ref, var)
             ours_var, _ = ours_compress(var)
+            ref_delta = ref_full - ref_var
             ours_delta = ours_full - ours_var
-            flag = "" if ours_delta <= ref_delta else "  <-- LOSING"
-            print(f"{stream:8s} delta-cost: ref {ref_delta:10d}  "
-                  f"ours {ours_delta:10d}  "
-                  f"(ours/ref {ours_delta/max(ref_delta,1):.3f}){flag}")
+            # a stream "loses" when, with the OTHER streams neutralized
+            # equal, our total is larger — comparing deltas alone misleads
+            # when one codec can't exploit the neutralized variant (the
+            # reference spends ~2 bits/base even on constant DNA, so its
+            # dna delta is tiny while its variant file is 35% bigger)
+            flag = "" if ours_var <= ref_var else "  <-- LOSING"
+            print(f"{stream:8s} variant totals: ref {ref_var:9d}  "
+                  f"ours {ours_var:9d} (ours/ref {ours_var/ref_var:.3f})  "
+                  f"delta ref {ref_delta:9d} ours {ours_delta:9d}{flag}")
     return 0
 
 
