@@ -158,7 +158,38 @@ def main() -> int:
             r = step()
         jax.block_until_ready(r)
         per = (time.perf_counter() - t0) / n_it
-        dev_mbps = R * 121 / per / 1e6  # ~121 B/record raw ERR-style input
+        dev_mbps = R * rec_bytes / per / 1e6  # raw input bytes/record
+    except Exception:
+        pass
+
+    # device-only decode throughput: parse one real sub-block, hoist the
+    # H2D uploads, time the fused decode graph (block_until_ready does not
+    # block through the relay — force with a tiny fetch)
+    dev_dec_mbps = None
+    try:
+        from phyngsc_tpu.container import block as blockmod
+        from phyngsc_tpu.container import footer as footermod
+
+        foot = footermod.read_footer(comp)
+        sizes = foot.block_sizes_in_file_order()
+
+        def blocks():
+            off = 0
+            for size, wid in zip(sizes, foot.cbo):
+                yield wid, bytes(comp[off : off + size])
+                off += size
+
+        payload = next(iter(blockmod.iter_subblocks(blocks())))[1]
+        p = sbmod._decode_parse(payload, cfg)
+        dev_in = sbmod._decode_device_inputs(p, cfg)
+        np.asarray(sbmod._decode_device(p, dev_in, cfg))  # warm
+        t0 = time.perf_counter()
+        n_it = 5
+        for _ in range(n_it):
+            rr = sbmod._decode_device(p, dev_in, cfg)
+        np.asarray(rr.reshape(-1)[:8])
+        per = (time.perf_counter() - t0) / n_it
+        dev_dec_mbps = p.R * rec_bytes / per / 1e6
     except Exception:
         pass
 
@@ -195,6 +226,8 @@ def main() -> int:
             "device_only_mbps": round(dev_mbps, 1) if dev_mbps else None,
             "device_only_vs_baseline": (round(dev_mbps / baseline, 2)
                                         if dev_mbps else None),
+            "device_only_decode_mbps": (round(dev_dec_mbps, 1)
+                                        if dev_dec_mbps else None),
             "note": "dev harness routes all H2D/D2H through a ~50 MB/s "
                     "loopback relay; device_only_mbps is the compute ceiling "
                     "on PCIe-attached hosts",
