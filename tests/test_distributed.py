@@ -56,9 +56,16 @@ def test_two_process_compress(tmp_path):
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.skip("jax.distributed did not come up in this environment")
+        if os.environ.get("PHYNGSC_ALLOW_DIST_SKIP"):
+            pytest.skip("jax.distributed did not come up in this environment")
+        raise AssertionError(
+            "jax.distributed 2-process run timed out. This test passes on "
+            "the dev image; set PHYNGSC_ALLOW_DIST_SKIP=1 only on "
+            "environments known to lack loopback multiprocessing.")
     for rc, out, err in outs:
-        if rc != 0 and b"distributed" in err.lower() and b"initialize" in err.lower():
+        if (rc != 0 and b"distributed" in err.lower()
+                and b"initialize" in err.lower()
+                and os.environ.get("PHYNGSC_ALLOW_DIST_SKIP")):
             pytest.skip(f"jax.distributed unavailable: {err[-200:]!r}")
         assert rc == 0, err.decode()[-2000:]
     blob = out_path.read_bytes()
