@@ -247,75 +247,6 @@ def trim_rows_np(plane: np.ndarray, sub_n_words: np.ndarray) -> np.ndarray:
     return plane[mask]
 
 
-@functools.partial(jax.jit, static_argnames=("n_words", "max_per_word"))
-def pack_bits_gather(codes: jnp.ndarray, lens: jnp.ndarray,
-                     bit_offsets: jnp.ndarray, n_words: int,
-                     max_per_word: int = 33) -> jnp.ndarray:
-    """Gather-mode bitpack (scatter-free transpose of pack_bits_scatter).
-
-    Every output word OR-reduces the <= max_per_word symbols whose bit spans
-    intersect it. Requires: zero-length symbols are rare enough that no word
-    has more than max_per_word symbols *starting or spilling* into it — with
-    all lens >= 1, max_per_word = 33 is a hard bound (32 starts + 1 spill).
-    Callers with clustered zero-length symbols must pre-compact or use
-    scatter mode.
-    """
-    codes = codes.reshape(-1).astype(jnp.uint32)
-    lens = lens.reshape(-1).astype(jnp.int32)
-    bit_offsets = bit_offsets.reshape(-1).astype(jnp.int32)
-    n = codes.shape[0]
-    ends = bit_offsets + lens  # non-decreasing
-    word_start_bits = jnp.arange(n_words, dtype=jnp.int32) * WORD_BITS
-    # first symbol whose span may reach word w: first with end > 32w
-    first = jnp.searchsorted(ends, word_start_bits, side="right").astype(jnp.int32)
-
-    def contribution(k, acc):
-        i = jnp.clip(first + k, 0, n - 1)
-        o = bit_offsets[i]
-        l = lens[i]
-        c = codes[i]
-        s = o - word_start_bits          # start bit within this word (may be <0)
-        valid = (first + k < n) & (l > 0) & (s < WORD_BITS) & (o + l > word_start_bits)
-        sh = WORD_BITS - s - l           # in [-15, 31] for intersecting symbols
-        left = jnp.clip(sh, 0, 31).astype(jnp.uint32)
-        right = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-        v = jnp.where(sh >= 0, c << left, c >> right)
-        return acc | jnp.where(valid, v, jnp.uint32(0))
-
-    words = jax.lax.fori_loop(
-        0, max_per_word, contribution, jnp.zeros((n_words,), jnp.uint32)
-    )
-    return words
-
-
-# ---------------------------------------------------------------------------
-# Host (numpy) twins of the device kernels. Bit-identical outputs. Used for
-# streams too small to amortize a device round-trip (title streams: the
-# remote-TPU tunnel costs ~0.1-1 s per call/fetch, dwarfing milliseconds of
-# host work).
-# ---------------------------------------------------------------------------
-
-def substream_layout_np(lens2d: np.ndarray, records_per_substream: int):
-    R, L = lens2d.shape
-    G = records_per_substream
-    assert R % G == 0
-    S = R // G
-    lens = lens2d.astype(np.int64)
-    sub_bits = lens.reshape(S, G * L).sum(axis=1)
-    sub_n_words = (sub_bits + WORD_BITS - 1) // WORD_BITS
-    sub_word_start = np.concatenate([[0], np.cumsum(sub_n_words)[:-1]])
-    flat = lens.reshape(S, G * L)
-    within = np.cumsum(flat, axis=1) - flat
-    bit_offsets = (within + (sub_word_start * WORD_BITS)[:, None]).reshape(R, L)
-    total = int(sub_word_start[-1] + sub_n_words[-1]) if S else 0
-    return {
-        "bit_offsets": bit_offsets.astype(np.int64),
-        "sub_n_words": sub_n_words.astype(np.int32),
-        "sub_word_start": sub_word_start.astype(np.int64),
-        "total_words": total,
-    }
-
-
 def pack_bits_scatter_np(codes: np.ndarray, lens: np.ndarray,
                          bit_offsets: np.ndarray, n_words: int) -> np.ndarray:
     codes = codes.reshape(-1).astype(np.uint64)

@@ -6,7 +6,6 @@ from phyngsc_tpu.ops import huffman
 from phyngsc_tpu.ops.bitpack import (
     bytes_to_words,
     extract_fixed_width,
-    pack_bits_gather,
     pack_bits_scatter,
     pack_lut,
     substream_layout,
@@ -28,8 +27,7 @@ def reference_pack(codes, lens, n_words):
     return out
 
 
-@pytest.mark.parametrize("mode", ["scatter", "gather"])
-def test_pack_matches_bitwriter(mode):
+def test_pack_matches_bitwriter():
     rng = np.random.default_rng(0)
     n = 1000
     lens = rng.integers(1, 17, size=n).astype(np.int32)
@@ -37,10 +35,7 @@ def test_pack_matches_bitwriter(mode):
     offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
     total_bits = int(lens.sum())
     n_words = (total_bits + 31) // 32
-    if mode == "scatter":
-        got = pack_bits_scatter(jnp.array(codes), jnp.array(lens), jnp.array(offsets), n_words)
-    else:
-        got = pack_bits_gather(jnp.array(codes), jnp.array(lens), jnp.array(offsets), n_words)
+    got = pack_bits_scatter(jnp.array(codes), jnp.array(lens), jnp.array(offsets), n_words)
     want = reference_pack(codes, lens, n_words)
     np.testing.assert_array_equal(np.asarray(got), want)
 
