@@ -247,6 +247,26 @@ def trim_rows_np(plane: np.ndarray, sub_n_words: np.ndarray) -> np.ndarray:
     return plane[mask]
 
 
+def substream_layout_np(lens2d: np.ndarray, records_per_substream: int):
+    R, L = lens2d.shape
+    G = records_per_substream
+    assert R % G == 0
+    S = R // G
+    lens = lens2d.astype(np.int64)
+    sub_bits = lens.reshape(S, G * L).sum(axis=1)
+    sub_n_words = (sub_bits + WORD_BITS - 1) // WORD_BITS
+    sub_word_start = np.concatenate([[0], np.cumsum(sub_n_words)[:-1]])
+    flat = lens.reshape(S, G * L)
+    within = np.cumsum(flat, axis=1) - flat
+    bit_offsets = (within + (sub_word_start * WORD_BITS)[:, None]).reshape(R, L)
+    total = int(sub_word_start[-1] + sub_n_words[-1]) if S else 0
+    return {
+        "bit_offsets": bit_offsets.astype(np.int64),
+        "sub_n_words": sub_n_words.astype(np.int32),
+        "sub_word_start": sub_word_start.astype(np.int64),
+        "total_words": total,
+    }
+
 def pack_bits_scatter_np(codes: np.ndarray, lens: np.ndarray,
                          bit_offsets: np.ndarray, n_words: int) -> np.ndarray:
     codes = codes.reshape(-1).astype(np.uint64)
