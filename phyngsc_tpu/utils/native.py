@@ -16,8 +16,56 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libphyngsc_host.so"))
+# wheel installs carry sources (+ maybe a prebuilt .so) in phyngsc_tpu/_native
+_PKG_NATIVE = os.path.join(os.path.dirname(__file__), "..", "_native")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _find_lib_path() -> Optional[str]:
+    """Locate (or build) libphyngsc_host.so.
+
+    Search order: $PHYNGSC_NATIVE_LIB (explicit path) → repo-layout
+    native/ (auto-`make`, host-tuned flags) → packaged phyngsc_tpu/_native/
+    prebuilt .so → compile the packaged sources into ~/.cache/phyngsc_tpu.
+    """
+    explicit = os.environ.get("PHYNGSC_NATIVE_LIB")
+    if explicit:
+        return explicit if os.path.exists(explicit) else None
+    if os.path.exists(_LIB_PATH):
+        return _LIB_PATH
+    if os.path.isdir(_NATIVE_DIR):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                capture_output=True, timeout=120, check=True,
+            )
+            return _LIB_PATH
+        except Exception:
+            pass
+    pkg_so = os.path.abspath(os.path.join(_PKG_NATIVE, "libphyngsc_host.so"))
+    if os.path.exists(pkg_so):
+        return pkg_so
+    pkg_src = os.path.abspath(os.path.join(_PKG_NATIVE, "host_runtime.cpp"))
+    if os.path.exists(pkg_src):
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")), "phyngsc_tpu")
+        out = os.path.join(cache, "libphyngsc_host.so")
+        if os.path.exists(out) and (os.path.getmtime(out)
+                                    >= os.path.getmtime(pkg_src)):
+            return out
+        try:
+            os.makedirs(cache, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fPIC", "-fopenmp",
+                 "-std=c++17", "-shared", pkg_src, "-o", out],
+                capture_output=True, timeout=300, check=True,
+            )
+            return out
+        except Exception:
+            return None
+    return None
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -27,16 +75,11 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("PHYNGSC_NO_NATIVE"):
         return None
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                capture_output=True, timeout=120, check=True,
-            )
-        except Exception:
-            return None
+    path = _find_lib_path()
+    if path is None:
+        return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
