@@ -700,46 +700,73 @@ def _out_width(n_alpha: int) -> int:
     return 2 if n_alpha <= 4 else 3 if n_alpha <= 8 else 4
 
 
-def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
-    """Device decode graph: quality walk → keep mask → DNA decode → ambiguity
-    restore → delta untranslate, all without a device→host sync; returns the
-    fused (seq, qual) blob pending one fetch."""
-    L, Lt, G = p.L, p.Lt, p.G
-    lens_j = dev["lens"]
-    if p.pplan is not None:
+@functools.partial(jax.jit, static_argnames=(
+    "use_pairs", "d_plain", "is_delta", "out_w", "q6",
+    "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len"))
+def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
+                         luts2, pair_vec, half_vec, q_luts, d_luts, out_tab,
+                         *, use_pairs, d_plain, is_delta, out_w, q6,
+                         L, Lt, G, pair_bits, lut_bits, uniform_len):
+    """Whole per-sub-block decode graph as ONE executable: quality walk →
+    keep mask → DNA decode → ambiguity restore → delta untranslate → packed
+    output. One launch per sub-block (the relay/PCIe path pays per-call
+    latency; on-chip it also removes inter-executable HBM round trips —
+    mirrors _analyze_all/_encode_all on the encode side). Unused inputs are
+    passed as None (empty pytree) so one signature covers every mode."""
+    if use_pairs:
         # uniform-length fast path: two symbols per LUT gather (the walk is
         # gather-bound, so this is ~2x); tables deduped/cached in pair_plan
-        luts2, _, _, pair_bits = p.pplan
         qual_t = quality.decode_device_pairs(
-            dev["q_words"], dev["q_sub"], lens_j, luts2,
-            dev["pair_vec"], dev["half_vec"], L, Lt, G, pair_bits,
-        )
+            q_words, q_sub, lens, luts2, pair_vec, half_vec,
+            L, Lt, G, pair_bits)
     else:
         qual_t = quality.decode_device(
-            dev["q_words"], dev["q_sub"], lens_j,
-            dev["q_luts"], L, G, cfg.max_code_len,
-            # only when Lt fills the bucket exactly — otherwise the static
-            # arg would key one executable per raw read length
-            uniform_len=Lt if (not p.variable and Lt == L) else 0,
-        )
+            q_words, q_sub, lens, q_luts, L, G, lut_bits,
+            uniform_len=uniform_len)
 
     # dna — the keep mask stays on device (quality >= 128 marks transferred
     # positions)
-    keep = _keep_from_quality(qual_t, lens_j)
-    if p.d_plan.mode == dna.MODE_PLAIN:
-        dna_syms = dna.decode_plain(dev["d_words"], dev["d_sub"], keep, L, G)
+    keep = _keep_from_quality(qual_t, lens)
+    if d_plain:
+        dna_syms = dna.decode_plain(d_words, d_sub, keep, L, G)
     else:
-        dna_syms = dna.decode_huffman(
-            dev["d_words"], dev["d_sub"], keep,
-            dev["d_luts"], L, G, cfg.max_code_len,
-        )
-    seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens_j)
-    if p.is_delta:
-        seq_j = dna.delta_untranslate(seq_j, lens_j)
-    if p.out_alpha is not None and not p.is_delta:
-        return _pack_out(seq_j, qual_j, dev["out_tab"],
-                         _out_width(p.out_alpha.shape[0]), p.q6)
+        dna_syms = dna.decode_huffman(d_words, d_sub, keep, d_luts,
+                                      L, G, lut_bits)
+    seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens)
+    if is_delta:
+        seq_j = dna.delta_untranslate(seq_j, lens)
+    if out_w and not is_delta:
+        return _pack_out(seq_j, qual_j, out_tab, out_w, q6)
     return _fuse_seq_qual(seq_j, qual_j)
+
+
+def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
+    """Dispatch the fused decode executable; returns the blob pending one
+    fetch."""
+    use_pairs = p.pplan is not None
+    pack = p.out_alpha is not None and not p.is_delta
+    return _decode_device_fused(
+        dev["q_words"], dev["q_sub"], dev["lens"],
+        dev["d_words"], dev["d_sub"],
+        p.pplan[0] if use_pairs else None,
+        dev.get("pair_vec"), dev.get("half_vec"),
+        dev.get("q_luts"), dev.get("d_luts"), dev.get("out_tab"),
+        use_pairs=use_pairs,
+        d_plain=p.d_plan.mode == dna.MODE_PLAIN,
+        is_delta=bool(p.is_delta),
+        out_w=_out_width(p.out_alpha.shape[0]) if pack else 0,
+        q6=bool(p.q6),
+        # statics unused by the taken branch are pinned to 0 so they don't
+        # key extra executables (e.g. per-raw-read-length Lt when the pair
+        # path is off — the cold-start budget counts executables)
+        L=p.L, Lt=p.Lt if use_pairs else 0, G=p.G,
+        pair_bits=p.pplan[3] if use_pairs else 0,
+        lut_bits=cfg.max_code_len,
+        # only when Lt fills the bucket exactly — otherwise the static
+        # arg would key one executable per raw read length
+        uniform_len=(0 if use_pairs
+                     else p.Lt if (not p.variable and p.Lt == p.L) else 0),
+    )
 
 
 def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None):
