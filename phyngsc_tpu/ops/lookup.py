@@ -39,7 +39,7 @@ def fuse_tables(codes, lens):
 def _resolve_variant() -> str:
     import os
 
-    return os.environ.get("PHYNGSC_LOOKUP", "bf16x2")
+    return os.environ.get("PHYNGSC_LOOKUP", "auto")
 
 
 #: Kernel variant for the TPU path, resolved ONCE at import (fused_lookup is
@@ -48,11 +48,14 @@ def _resolve_variant() -> str:
 #: explicit; A/B experiments must set PHYNGSC_LOOKUP before importing, or
 #: assign lookup.VARIANT before the first trace):
 #:
+#: - "auto" (default): pallas for L >= 64, else bf16x2 — measured crossover
+#:   on v5e (L=36: bf16x2 2.56 ms vs pallas 3.49; L=80: 11.98 vs 7.04)
 #: - "bf16x2": batched one-hot, two bf16 dots (lo/hi 8-bit planes)
 #: - "f32":    batched one-hot, ONE f32 dot (entries < 2^16 exact in f32)
 #: - "int8":   batched one-hot, ONE int8 dot, 3 planes (6/6/4 bits)
 #: - "flat":   flat (R*L, A) @ (A, 2L) bf16 dot — proper MXU N-dim — then a
 #:             fused diagonal mask-reduce picks column p for row (r, p)
+#: - "pallas": VMEM-resident one-hot int8 kernel (fused_lookup_pallas below)
 #: All variants are bit-exact (verified in tests against the gather path).
 VARIANT = _resolve_variant()
 
@@ -72,6 +75,11 @@ def fused_lookup(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
         pos = jnp.arange(L, dtype=jnp.int32)[None, :]
         return fused_tab[pos, symbols.astype(jnp.int32)]
     variant = VARIANT
+    if variant == "auto":
+        variant = "pallas" if L >= 64 else "bf16x2"
+
+    if variant == "pallas":
+        return fused_lookup_pallas(symbols, fused_tab)
 
     pad = (-R) % chunk
     sym = jnp.pad(symbols.astype(jnp.int32), ((0, pad), (0, 0)))
@@ -146,6 +154,93 @@ def split_fused(fused: jnp.ndarray):
     """fused entries → (codes uint32, lens int32)."""
     return ((fused & ((1 << CODE_BITS) - 1)).astype(jnp.uint32),
             (fused >> CODE_BITS).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Pallas variant: one-hot stays in VMEM.
+#
+# The XLA variants above materialize the (chunk, L, A) one-hot in HBM (~84 MB
+# per 4096-record chunk at L=36) because XLA does not fuse producers into
+# matmul operands — the measured ~5 ms is that HBM round trip, not FLOPs.
+# This kernel builds the one-hot tile in VMEM and contracts it there with a
+# block-diagonal 3-plane int8 table, so HBM traffic is just symbols in +
+# entries out. Per record tile of TR rows and a position chunk of Lc
+# positions:
+#
+#     oh[r, p*A+s] = (sym[r,p] == s)                      (TR, Lc*A) int8
+#     T[p*A+s, j]  = plane_k[p, s] for j == k*Lc + p      (Lc*A, C)  int8
+#     acc = oh @ T                                        (TR, C)   int32
+#     out[r,p] = acc[r,p] | acc[r,Lc+p]<<6 | acc[r,2Lc+p]<<12
+#
+# The 16-bit fused entry rides in 3 MXU-native int8 planes (6/6/4 bits);
+# columns [k*Lc + p] give the result directly — no diagonal mask-reduce.
+# C = pad128(3*Lc) so position chunks of <= 42 keep C = 128.
+# ---------------------------------------------------------------------------
+
+#: record-tile rows and max positions per pallas call (3*42 <= 128 lanes)
+_PL_TR = 256
+_PL_LC = 40
+
+
+def _pl_kernel(sym_ref, tab_ref, out_ref):
+    TR, Lc = sym_ref.shape
+    A = 256
+    s = sym_ref[:]
+    oh = (s[:, :, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (TR, Lc, A), 2))
+    acc = jax.lax.dot_general(
+        oh.astype(jnp.int8).reshape(TR, Lc * A), tab_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    out_ref[:] = (acc[:, :Lc] | (acc[:, Lc : 2 * Lc] << 6)
+                  | (acc[:, 2 * Lc : 3 * Lc] << 12))
+
+
+def _pl_chunk(sym: jnp.ndarray, tab: jnp.ndarray, interpret: bool):
+    """One (Rp, Lc) position chunk; Rp % _PL_TR == 0, Lc <= _PL_LC."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Rp, Lc = sym.shape
+    A = tab.shape[1]
+    C = -(-3 * Lc // 128) * 128
+    t = tab.astype(jnp.int32)
+    planes = [t & 0x3F, (t >> 6) & 0x3F, (t >> 12) & 0x0F]   # (Lc, A) each
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Lc, A, C), 2)
+    pp = jax.lax.broadcasted_iota(jnp.int32, (Lc, A, C), 0)
+    T3 = jnp.zeros((Lc, A, C), jnp.int8)
+    for k, pk in enumerate(planes):
+        T3 = jnp.where(jj == k * Lc + pp, pk[:, :, None].astype(jnp.int8), T3)
+    return pl.pallas_call(
+        _pl_kernel,
+        grid=(Rp // _PL_TR,),
+        in_specs=[
+            pl.BlockSpec((_PL_TR, Lc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc * A, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_PL_TR, Lc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, Lc), jnp.int32),
+        interpret=interpret,
+    )(sym, T3.reshape(Lc * A, C))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_lookup_pallas(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Pallas twin of fused_lookup — bit-exact (tests/test_bitpack.py)."""
+    R, L = symbols.shape
+    if fused_tab.shape[1] != 256:
+        raise ValueError("fused_lookup_pallas requires A == 256 tables")
+    pad = (-R) % _PL_TR
+    sym = jnp.pad(symbols.astype(jnp.int32), ((0, pad), (0, 0)))
+    outs = []
+    for c0 in range(0, L, _PL_LC):
+        c1 = min(c0 + _PL_LC, L)
+        outs.append(_pl_chunk(sym[:, c0:c1], fused_tab[c0:c1], interpret))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out[:R]
 
 
 # ---------------------------------------------------------------------------
