@@ -69,20 +69,32 @@ def analyze(qual: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_tables_adaptive(counts: np.ndarray, cfg: CodecConfig):
-    """Returns (tables, group): if capping codes at 8 bits costs < 0.4% extra
-    output, take it — four codes then share one scatter element instead of
-    two (the scatter is the encode chain's dominant cost on TPU)."""
+    """Returns (tables, group), cost-gated code-length capping (< 0.4% extra
+    output bits, computed exactly from the histogram):
+
+    - 6-bit cap (alphabet <= 64/position): group-5 encode AND 12-bit pair
+      decode LUTs — 2*6 <= 12, so pair_plan's tables are 4 KiB each and fit
+      the upload budget that 16-bit tables (from 7-8-bit codes) blow
+      through, keeping the 2-symbols-per-gather decode walk enabled.
+    - 8-bit cap: four codes per scatter element on the encode side.
+    """
     counts = np.asarray(counts)
     tables = build_tables(counts, cfg)
     max_len = int(tables.lens.max()) if tables.lens.size else 1
     k = lookup.group_for(max_len)
+    c64 = counts.astype(np.int64)
+    base = int((c64 * tables.lens).sum())
+    if not base:
+        return tables, k
+    if (max_len > 6 and cfg.max_code_len > 6
+            and int(np.count_nonzero(counts, axis=1).max()) <= 64):
+        t6 = build_tables(counts, dataclasses.replace(cfg, max_code_len=6))
+        if int((c64 * t6.lens).sum()) <= base * 1.004:
+            return t6, lookup.group_for(6)
     if k >= 4 or cfg.max_code_len <= 8:
         return tables, k
     t8 = build_tables(counts, dataclasses.replace(cfg, max_code_len=8))
-    c64 = counts.astype(np.int64)
-    base = int((c64 * tables.lens).sum())
-    capped = int((c64 * t8.lens).sum())
-    if base and capped <= base * 1.004:
+    if int((c64 * t8.lens).sum()) <= base * 1.004:
         return t8, 4
     return tables, k
 
