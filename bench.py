@@ -151,13 +151,20 @@ def main() -> int:
                 qt, kp, seq, lens, qc_j, ql_j, dc_j, dl_j,
                 d_plan.mode, G, q_cap, d_cap, q_group, d_group, pack)
 
-        jax.block_until_ready(step())
-        t0 = time.perf_counter()
-        n_it = 5
-        for _ in range(n_it):
-            r = step()
-        jax.block_until_ready(r)
-        per = (time.perf_counter() - t0) / n_it
+        # slope timing: block_until_ready does NOT block through the relay
+        # and a host fetch pays ~1-2 s of latency, so time (1 + n_it) vs 1
+        # iterations each synced by a tiny true fetch and take the slope —
+        # constant dispatch/fetch overhead cancels
+        def timed(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = step()
+            np.asarray(r.reshape(-1)[:8])
+            return time.perf_counter() - t0
+
+        timed(1)  # warm
+        n_it = 8
+        per = (timed(1 + n_it) - timed(1)) / n_it
         dev_mbps = R * rec_bytes / per / 1e6  # raw input bytes/record
     except Exception:
         pass
@@ -183,15 +190,62 @@ def main() -> int:
         p = sbmod._decode_parse(payload, cfg)
         dev_in = sbmod._decode_device_inputs(p, cfg)
         np.asarray(sbmod._decode_device(p, dev_in, cfg))  # warm
-        t0 = time.perf_counter()
-        n_it = 5
-        for _ in range(n_it):
-            rr = sbmod._decode_device(p, dev_in, cfg)
-        np.asarray(rr.reshape(-1)[:8])
-        per = (time.perf_counter() - t0) / n_it
+
+        def dtimed(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                rr = sbmod._decode_device(p, dev_in, cfg)
+            np.asarray(rr.reshape(-1)[:8])
+            return time.perf_counter() - t0
+
+        dtimed(1)  # warm the tiny-fetch executable
+        n_it = 8
+        per = (dtimed(1 + n_it) - dtimed(1)) / n_it
         dev_dec_mbps = p.R * rec_bytes / per / 1e6
     except Exception:
         pass
+
+    # relay/PCIe line-rate probe (after the timed runs): one 4 MiB buffer
+    # each way, synced by a true host fetch (block_until_ready does not
+    # block through the relay). Paired with the pipeline's transfer-byte
+    # accounting this proves how much of the e2e wall is wire time.
+    h2d_rate = d2h_rate = None
+    try:
+        import jax
+        import numpy as np
+
+        probe = np.arange(1 << 20, dtype=np.uint32)  # 4 MiB
+        dprobe = jax.device_put(probe)
+        np.asarray(dprobe[:1])  # warm the slice/fetch executables
+        h2d_s = d2h_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            d = jax.device_put(probe)
+            np.asarray(d[:1])
+            h2d_s = min(h2d_s, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(d)
+            d2h_s = min(d2h_s, time.perf_counter() - t0)
+        h2d_rate = probe.nbytes / h2d_s / 1e6
+        d2h_rate = probe.nbytes / d2h_s / 1e6
+    except Exception:
+        pass
+
+    def _wire(budget):
+        """(h2d_mb, d2h_mb, wire_s) from a stage budget; pops the byte
+        counters so the printed budget stays seconds-only."""
+        if not budget:
+            return None, None, None
+        h2d = budget.pop("h2d_bytes", 0.0)
+        d2h = budget.pop("d2h_bytes", 0.0)
+        wire = None
+        if h2d_rate and d2h_rate:
+            wire = h2d / 1e6 / h2d_rate + d2h / 1e6 / d2h_rate
+        return round(h2d / 1e6, 2), round(d2h / 1e6, 2), \
+            (round(wire, 3) if wire is not None else None)
+
+    c_h2d, c_d2h, c_wire = _wire(comp_budget)
+    d_h2d, d_d2h, d_wire = _wire(dec_budget)
 
     mbps = len(data) / comp_s / 1e6
     dec_mbps = len(data) / dec_s / 1e6
@@ -219,6 +273,16 @@ def main() -> int:
                                   for k, v in (comp_budget or {}).items()},
             "decompress_budget_s": {k: round(v, 2)
                                     for k, v in (dec_budget or {}).items()},
+            "compress_wall_s": round(comp_s, 3),
+            "decompress_wall_s": round(dec_s, 3),
+            # transfer-byte accounting × measured line rate: the wall-clock
+            # floor imposed by the link for the best-of runs above
+            "compress_transfer": {"h2d_mb": c_h2d, "d2h_mb": c_d2h,
+                                  "wire_s": c_wire},
+            "decompress_transfer": {"h2d_mb": d_h2d, "d2h_mb": d_d2h,
+                                    "wire_s": d_wire},
+            "link_rate_mbps": {"h2d": round(h2d_rate, 1) if h2d_rate else None,
+                               "d2h": round(d2h_rate, 1) if d2h_rate else None},
             "synth_s": round(synth_s, 2),
             "backend": jax.default_backend(),
             "writers": n_writers,

@@ -139,6 +139,15 @@ def _tick(label, t0):
     return _t.perf_counter()
 
 
+def _acct(key: str, nbytes: int) -> None:
+    """Transfer-byte accounting (under PHYNGSC_TIMING): host↔device bytes by
+    direction, so the stage budget can prove how much wall-clock is wire
+    time on bandwidth-poor links (bench.py pairs this with a measured line
+    rate)."""
+    if TIMING is not None:
+        TIMING[key] = TIMING.get(key, 0.0) + float(nbytes)
+
+
 def _host_async(*arrays) -> None:
     for a in arrays:
         try:
@@ -218,6 +227,7 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     else:
         s_mode, s_words = transfer.pack_seq_np(seq_np)
         q_mode, q_words = transfer.pack_qual_np(qual_np)
+        _acct("h2d_bytes", s_words.nbytes + q_words.nbytes + lens_pad.nbytes)
         blob_in = jax.device_put(np.concatenate([s_words, q_words]))  # one H2D
         st.seq_j, st.qual_t, st.keep, st.counts_blob = _analyze_all(
             blob_in, lens_j, is_delta=st.is_delta,
@@ -365,6 +375,7 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
     G = cfg.records_per_substream
     st.n_shards = codec.n_data if codec is not None else 1
     counts = np.asarray(a.counts_blob)  # the one stage-A fetch
+    _acct("d2h_bytes", counts.nbytes)
     t0 = _tick("b.counts_fetch", t0)
     q_counts = counts[: a.n_q_counts].reshape(-1, quality.ALPHABET)
     d_counts = counts[a.n_q_counts :]
@@ -376,6 +387,8 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
         if st.d_plan.mode == dna.MODE_HUFFMAN else 2
     t0 = _tick("b.tables", t0)
 
+    _acct("h2d_bytes", st.q_tables.codes.nbytes + st.q_tables.lens.nbytes
+          + st.d_plan.codes_tab.nbytes + st.d_plan.lens_tab.nbytes)
     S = a.Rp // G
     pack = bitpack.pack_mode()
     plane = pack == "rows"
@@ -435,6 +448,7 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
 def stage_c(b: _StageB, cfg: CodecConfig) -> bytes:
     a = b.a
     blob = np.asarray(b.blob)  # the one stage-B fetch
+    _acct("d2h_bytes", blob.nbytes)
     nqw, ndw, nqs, nds = b.blob_layout
     off = 0
     q_words = blob[off : off + nqw]; off += nqw
@@ -525,6 +539,7 @@ def decode_stage_b(st: _DStage) -> bytes:
 
     t0 = _t.perf_counter()
     both = np.asarray(st.blob)
+    _acct("d2h_bytes", both.nbytes)
     t0 = _tick("d.fetch", t0)
     if st.out_meta is not None:
         alpha, q6, Rp, L = st.out_meta
@@ -693,6 +708,8 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
         idx_tab = np.zeros(256, np.int32)
         idx_tab[p.out_alpha] = np.arange(p.out_alpha.shape[0], dtype=np.int32)
         dev["out_tab"] = jax.device_put(idx_tab)
+    _acct("h2d_bytes", sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                           for v in dev.values()))
     return dev
 
 
