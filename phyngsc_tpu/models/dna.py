@@ -314,6 +314,36 @@ def decode_huffman(words: jnp.ndarray, sub_n_words: jnp.ndarray,
     return jnp.where(keep, out, 0).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("L", "records_per_substream",
+                                             "lut_bits", "interpret"))
+def decode_huffman_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
+                        luts: jnp.ndarray, L: int,
+                        records_per_substream: int, lut_bits: int,
+                        interpret: bool = False):
+    """decode_huffman with the sequential walk replaced by the pallas LUT
+    kernel (single shared tree; kept-count validity). Bit-identical."""
+    G = records_per_substream
+    R = keep.shape[0]
+    S = R // G
+    T = G * L
+    k32 = keep.astype(jnp.int32)
+    kept_per_rec = jnp.sum(k32, axis=1)
+    kept_sub = kept_per_rec.reshape(S, G)
+    cum = jnp.cumsum(kept_sub, axis=1)
+    totals = cum[:, -1]
+    totals_p = jnp.pad(totals, (0, words_dense.shape[1] - S))
+    shared = jnp.broadcast_to(luts[0], (bitpack._WALK_TC, luts.shape[1]))
+    syms = bitpack.unpack_substreams_uniform_pallas(
+        words_dense, shared, totals_p, n_steps=T, shared_luts=True,
+        interpret=interpret)[:S]
+    before_rec = (cum - kept_sub).reshape(R)
+    within = jnp.cumsum(k32, axis=1) - k32
+    step_of = before_rec[:, None] + within
+    sub_of_r = jnp.arange(R, dtype=jnp.int32) // G
+    out = syms[sub_of_r[:, None], jnp.clip(step_of, 0, T - 1)]
+    return jnp.where(keep, out, 0).astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Stream header
 # ---------------------------------------------------------------------------

@@ -324,6 +324,34 @@ def decode_device_pairs(words: jnp.ndarray, sub_n_words: jnp.ndarray,
     out = syms[sub_of_r[:, None], jnp.clip(step_of, 0, T - 1)]
     return jnp.where(valid_mask(lens, L), out, 0).astype(jnp.uint8)
 
+@functools.partial(jax.jit, static_argnames=(
+    "L", "Lt", "records_per_substream", "lut_bits", "interpret"))
+def decode_device_walk(words_dense: jnp.ndarray, lens: jnp.ndarray,
+                       luts: jnp.ndarray, L: int, Lt: int,
+                       records_per_substream: int, lut_bits: int,
+                       interpret: bool = False):
+    """Uniform-length decode via the pallas LUT walk (no gathers at all).
+
+    words_dense is the host-laid (Wmax, Sp) plane (bitpack.dense_words_np);
+    tree rows are selected per step at trace level (one row-gather of the
+    tiny table set), and the (r, p) → step mapping is a pure reshape —
+    uniform records make step (g*Lt + p). Bit-identical to decode_device."""
+    G = records_per_substream
+    R = lens.shape[0]
+    S = R // G
+    T = G * Lt
+    n_trees = luts.shape[0]
+    t = jnp.arange(T, dtype=jnp.int32)
+    tid = jnp.minimum(t % Lt, n_trees - 1)
+    step_luts = luts[tid]                          # (T, V)
+    totals = jnp.sum(lens.reshape(S, G).astype(jnp.int32), axis=1)
+    totals_p = jnp.pad(totals, (0, words_dense.shape[1] - S))
+    syms = bitpack.unpack_substreams_uniform_pallas(
+        words_dense, step_luts, totals_p, interpret=interpret)[:S]
+    out = jnp.pad(syms.reshape(R, Lt), ((0, 0), (0, L - Lt)))
+    return jnp.where(valid_mask(lens, L), out, 0).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "records_per_substream"))
 def _steps_from_lens(lens: jnp.ndarray, L: int, records_per_substream: int):
     """Map decode steps to (record, position) from per-record lengths.

@@ -33,6 +33,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 WORD_BITS = 32
 
@@ -472,6 +474,155 @@ def unpack_substreams_pairs(words: jnp.ndarray, sub_word_start: jnp.ndarray,
     )
     _, _, out = jax.lax.fori_loop(0, n_steps2, body, init)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas walk: the LUT decode without gathers.
+#
+# unpack_substreams costs ~36 ns/symbol on TPU regardless of S or lut_bits —
+# XLA serializes its per-step gathers (window words + LUT row). This kernel
+# keeps every operand VMEM-resident and replaces both gathers with VPU
+# selects over generated iotas:
+#   - window words: per-step dynamic-extent loop over the lanes' live word
+#     range [min(word_idx), max(word_idx)+2) — advance per step is {0, 1}
+#     word, so lanes stay in a narrow band;
+#   - LUT entry: a (lanes, V) broadcast-compare × the step's LUT row,
+#     reduced over V.
+# Requirements (the uniform fast path): one LUT row per step shared by all
+# lanes (true for per-position quality trees and the single DNA tree) and
+# contiguous validity (step < per-substream total). Substream word areas are
+# laid out densely per lane on the host — (Wmax, Sp) — so no per-lane base
+# offsets exist in-kernel.
+# ---------------------------------------------------------------------------
+
+#: steps per grid block (output tile rows / LUT rows per block)
+_WALK_TC = 128
+
+
+def _walk_kernel(words_ref, luts_ref, totals_ref, out_ref, wi_ref, bi_ref):
+    k = pl.program_id(0)
+    Tc = out_ref.shape[0]
+    Wmax = words_ref.shape[0]
+    V = luts_ref.shape[1]
+    lut_bits = int(V).bit_length() - 1
+
+    @pl.when(k == 0)
+    def _():
+        wi_ref[:] = jnp.zeros_like(wi_ref)
+        bi_ref[:] = jnp.zeros_like(bi_ref)
+
+    totals = totals_ref[:]
+    vny = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
+
+    def step(i, _):
+        wi = wi_ref[:]                           # (Sr, 128) int32
+        bi = bi_ref[:]
+        m = jnp.min(wi)
+        span = jnp.minimum(jnp.max(wi) + 2 - m, Wmax - m)
+
+        def fetch(j, acc):
+            w0a, w1a = acc
+            tile = words_ref[jnp.minimum(m + j, Wmax - 1)]
+            w0a = jnp.where(wi == m + j, tile, w0a)
+            w1a = jnp.where(wi + 1 == m + j, tile, w1a)
+            return w0a, w1a
+
+        zero = jnp.zeros_like(wi, dtype=jnp.uint32)
+        w0, w1 = jax.lax.fori_loop(0, span, fetch, (zero, zero))
+
+        b = bi.astype(jnp.uint32)
+        win = jnp.where(bi == 0, w0,
+                        (w0 << b) | (w1 >> (jnp.uint32(WORD_BITS) - b)))
+        idx = (win >> jnp.uint32(WORD_BITS - lut_bits)).astype(jnp.int32)
+
+        lut_row = luts_ref[i].reshape(1, 1, V)   # this step's table
+        mask = idx[:, :, None] == vny
+        entry = jnp.sum(jnp.where(mask, lut_row, 0), axis=2)
+
+        valid = (k * Tc + i) < totals
+        sym = entry & 0x1FF
+        l = jnp.where(valid, entry >> 9, 0)
+        out_ref[i] = sym
+        b2 = bi + l
+        wi_ref[:] = wi + (b2 >> 5)
+        bi_ref[:] = b2 & 31
+        return 0
+
+    jax.lax.fori_loop(0, Tc, step, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "shared_luts", "interpret"))
+def unpack_substreams_uniform_pallas(
+        words_dense: jnp.ndarray, step_luts: jnp.ndarray,
+        totals: jnp.ndarray, n_steps: int = 0, shared_luts: bool = False,
+        interpret: bool = False) -> jnp.ndarray:
+    """Pallas LUT walk over dense per-lane word planes.
+
+    words_dense (Wmax, Sp) uint32 — substream s's words in column s (host
+                 lays these out; Sp a multiple of 128, zero-padded)
+    step_luts   (T, V) int32 — the decode table row for each step (packed
+                 len<<9|sym entries); with shared_luts=True a single (Tc, V)
+                 broadcast block reused by every grid step (constant tree;
+                 pass the real step count via n_steps)
+    totals      (Sp,) int32 — symbols in substream s (validity boundary)
+    Returns (S_p, T) int32 symbols; bit-identical to unpack_substreams for
+    the same streams (tests/test_lookup.py walk cases).
+    """
+    Wmax, Sp = words_dense.shape
+    V = step_luts.shape[1]
+    T = n_steps or step_luts.shape[0]
+    assert Sp % 128 == 0, "pad substream lanes to a multiple of 128"
+    Sr = Sp // 128
+    Tc = _WALK_TC
+    Tp = -(-T // Tc) * Tc
+    if not shared_luts and Tp != T:
+        step_luts = jnp.pad(step_luts, ((0, Tp - T), (0, 0)))
+    grid = (Tp // Tc,)
+    words3 = words_dense.reshape(Wmax, Sr, 128)
+    totals2 = totals.reshape(Sr, 128)
+    lut_map = (lambda k: (0, 0)) if shared_luts else (lambda k: (k, 0))
+    out = pl.pallas_call(
+        _walk_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Wmax, Sr, 128), lambda k: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc, V), lut_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sr, 128), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Tc, Sr, 128), lambda k: (k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, Sr, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Sr, 128), jnp.int32),
+            pltpu.VMEM((Sr, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(words3, step_luts, totals2)
+    return out.reshape(Tp, Sp).T[:, :T]
+
+
+def dense_words_np(words: np.ndarray, sub_n_words: np.ndarray,
+                   lane_pad: int = 128) -> np.ndarray:
+    """Host layout for the pallas walk: linear packed words → (Wmax, Sp)
+    with substream s's words down column s (columns past sub_n_words[s]
+    and lane-padding columns are zero)."""
+    sub = np.asarray(sub_n_words).astype(np.int64)
+    S = sub.shape[0]
+    Sp = max(lane_pad, -(-S // lane_pad) * lane_pad)
+    # word rows bucketed so sub-blocks share compiled walk executables
+    Wmax = max(int(sub.max()) if S else 0, 1)
+    Wmax = -(-Wmax // 256) * 256
+    start = np.concatenate([[0], np.cumsum(sub)[:-1]])
+    words = np.asarray(words, np.uint32)
+    cols = np.arange(Wmax, dtype=np.int64)
+    idx = start[:, None] + cols[None, :]
+    m = cols[None, :] < sub[:, None]
+    dense = np.zeros((Sp, Wmax), np.uint32)
+    dense[:S] = np.where(m, words[np.minimum(idx, max(words.shape[0] - 1, 0))], 0)
+    return np.ascontiguousarray(dense.T)
 
 
 @functools.partial(jax.jit, static_argnames=("n_out",))

@@ -581,7 +581,8 @@ class _DParsed:
     __slots__ = ("R", "Lt", "L", "Rp", "G", "variable", "is_delta", "crc",
                  "lens_np", "lens_pad", "titles_np", "tlens_np",
                  "q_tables", "q_sub", "q_words", "pplan",
-                 "d_plan", "d_sub", "d_words", "out_alpha", "q6")
+                 "d_plan", "d_sub", "d_words", "out_alpha", "q6",
+                 "use_qwalk", "use_dwalk")
 
 
 def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
@@ -646,14 +647,28 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
         out[: words.shape[0]] = words
         return out
 
+    # pallas LUT walk (no-gather decode): the fastest path when available —
+    # quality needs uniform record lengths (per-position tree = step % Lt);
+    # DNA's validity is kept-count-based so it works regardless. PHYNGSC_WALK
+    # forces it on (CPU tests run the kernel in interpreter mode) or off.
+    import os as _os
+
+    _walk_env = _os.environ.get("PHYNGSC_WALK", "auto")
+    _walk_ok = (_walk_env == "pallas"
+                or (_walk_env == "auto" and jax.default_backend() == "tpu"))
+    p.use_qwalk = bool(_walk_ok and not variable and R)
+    p.use_dwalk = False  # set after the DNA header parse (Huffman mode only)
+
     p.q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)), "dec_q")
-    p.pplan = quality.pair_plan(p.q_tables, Lt) if (not variable and R) else None
+    p.pplan = (quality.pair_plan(p.q_tables, Lt)
+               if (not variable and R and not p.use_qwalk) else None)
 
     br = BitReader(dna_sec)
     p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(br)
     p.is_delta = p.is_delta or is_delta_hdr
     br.align()
     p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), "dec_d")
+    p.use_dwalk = bool(_walk_ok and R and p.d_plan.mode == dna.MODE_HUFFMAN)
 
     # restored-output alphabet for the packed D2H fetch: provably complete —
     # kept positions hold DNA-plan symbols (plain mode only fires on pure
@@ -704,6 +719,16 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
         dev["q_luts"] = jax.device_put(p.q_tables.luts(cfg.max_code_len))
     if p.d_plan.mode != dna.MODE_PLAIN:
         dev["d_luts"] = jax.device_put(p.d_plan.luts(cfg.max_code_len))
+    # dense per-lane word planes for the pallas walk (host layout; replaces
+    # the linear uploads on the walked streams)
+    if p.use_qwalk:
+        dev["q_dense"] = jax.device_put(
+            bitpack.dense_words_np(p.q_words, p.q_sub))
+        dev.pop("q_words", None)
+    if p.use_dwalk:
+        dev["d_dense"] = jax.device_put(
+            bitpack.dense_words_np(p.d_words, p.d_sub))
+        dev.pop("d_words", None)
     if p.out_alpha is not None:
         idx_tab = np.zeros(256, np.int32)
         idx_tab[p.out_alpha] = np.arange(p.out_alpha.shape[0], dtype=np.int32)
@@ -718,19 +743,27 @@ def _out_width(n_alpha: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "use_pairs", "d_plain", "is_delta", "out_w", "q6",
-    "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len"))
+    "use_pairs", "use_qwalk", "use_dwalk", "d_plain", "is_delta", "out_w",
+    "q6", "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len",
+    "interpret"))
 def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
                          luts2, pair_vec, half_vec, q_luts, d_luts, out_tab,
-                         *, use_pairs, d_plain, is_delta, out_w, q6,
-                         L, Lt, G, pair_bits, lut_bits, uniform_len):
+                         q_dense, d_dense,
+                         *, use_pairs, use_qwalk, use_dwalk, d_plain,
+                         is_delta, out_w, q6,
+                         L, Lt, G, pair_bits, lut_bits, uniform_len,
+                         interpret=False):
     """Whole per-sub-block decode graph as ONE executable: quality walk →
     keep mask → DNA decode → ambiguity restore → delta untranslate → packed
     output. One launch per sub-block (the relay/PCIe path pays per-call
     latency; on-chip it also removes inter-executable HBM round trips —
     mirrors _analyze_all/_encode_all on the encode side). Unused inputs are
     passed as None (empty pytree) so one signature covers every mode."""
-    if use_pairs:
+    if use_qwalk:
+        # pallas LUT walk: no gathers at all (the fastest path)
+        qual_t = quality.decode_device_walk(
+            q_dense, lens, q_luts, L, Lt, G, lut_bits, interpret=interpret)
+    elif use_pairs:
         # uniform-length fast path: two symbols per LUT gather (the walk is
         # gather-bound, so this is ~2x); tables deduped/cached in pair_plan
         qual_t = quality.decode_device_pairs(
@@ -746,6 +779,9 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
     keep = _keep_from_quality(qual_t, lens)
     if d_plain:
         dna_syms = dna.decode_plain(d_words, d_sub, keep, L, G)
+    elif use_dwalk:
+        dna_syms = dna.decode_huffman_walk(d_dense, keep, d_luts, L, G,
+                                           lut_bits, interpret=interpret)
     else:
         dna_syms = dna.decode_huffman(d_words, d_sub, keep, d_luts,
                                       L, G, lut_bits)
@@ -763,25 +799,29 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
     use_pairs = p.pplan is not None
     pack = p.out_alpha is not None and not p.is_delta
     return _decode_device_fused(
-        dev["q_words"], dev["q_sub"], dev["lens"],
-        dev["d_words"], dev["d_sub"],
+        dev.get("q_words"), dev["q_sub"], dev["lens"],
+        dev.get("d_words"), dev["d_sub"],
         p.pplan[0] if use_pairs else None,
         dev.get("pair_vec"), dev.get("half_vec"),
         dev.get("q_luts"), dev.get("d_luts"), dev.get("out_tab"),
+        dev.get("q_dense"), dev.get("d_dense"),
         use_pairs=use_pairs,
+        use_qwalk=p.use_qwalk, use_dwalk=p.use_dwalk,
+        interpret=jax.default_backend() != "tpu",
         d_plain=p.d_plan.mode == dna.MODE_PLAIN,
         is_delta=bool(p.is_delta),
         out_w=_out_width(p.out_alpha.shape[0]) if pack else 0,
         q6=bool(p.q6),
         # statics unused by the taken branch are pinned to 0 so they don't
-        # key extra executables (e.g. per-raw-read-length Lt when the pair
-        # path is off — the cold-start budget counts executables)
-        L=p.L, Lt=p.Lt if use_pairs else 0, G=p.G,
+        # key extra executables (e.g. per-raw-read-length Lt when neither
+        # the pair nor the walk path is on — the cold-start budget counts
+        # executables)
+        L=p.L, Lt=p.Lt if (use_pairs or p.use_qwalk) else 0, G=p.G,
         pair_bits=p.pplan[3] if use_pairs else 0,
         lut_bits=cfg.max_code_len,
         # only when Lt fills the bucket exactly — otherwise the static
         # arg would key one executable per raw read length
-        uniform_len=(0 if use_pairs
+        uniform_len=(0 if (use_pairs or p.use_qwalk)
                      else p.Lt if (not p.variable and p.Lt == p.L) else 0),
     )
 

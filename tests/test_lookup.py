@@ -41,3 +41,117 @@ def test_pallas_lookup_multi_chunk_boundary():
     got = np.asarray(lookup.fused_lookup_pallas(
         jnp.asarray(sym), jnp.asarray(tab), interpret=True))
     np.testing.assert_array_equal(got, _reference(sym, tab))
+
+
+# ---------------------------------------------------------------------------
+# pallas LUT walk (bitpack.unpack_substreams_uniform_pallas)
+# ---------------------------------------------------------------------------
+
+from phyngsc_tpu.ops import bitpack, huffman
+from phyngsc_tpu.utils.bitio import BitWriter
+
+
+def _random_tables(rng, n_trees, alphabet, max_len):
+    counts = rng.integers(1, 1000, size=(n_trees, alphabet))
+    lens = huffman.build_code_lengths_batch(counts, max_len)
+    codes = np.asarray(huffman.canonical_codes(lens))
+    luts = []
+    for t in range(n_trees):
+        sym, ln = huffman.decode_lut(lens[t], max_len, -1)
+        luts.append((ln.astype(np.int32) << 9) | sym.astype(np.int32))
+    return lens, codes, np.stack(luts)
+
+
+@pytest.mark.parametrize("S,T,n_trees,max_len", [
+    (130, 70, 3, 8),      # lane padding + multi-tree + 8-bit windows
+    (256, 130, 5, 12),    # T > one grid block, 12-bit windows
+    (128, 128, 1, 6),     # shared single tree
+])
+def test_pallas_walk_matches_py_walk(S, T, n_trees, max_len):
+    rng = np.random.default_rng(S + T)
+    alphabet = 50
+    lens, codes, luts = _random_tables(rng, n_trees, alphabet, max_len)
+    tid_vec = rng.integers(0, n_trees, size=T).astype(np.int32)
+    totals = rng.integers(0, T + 1, size=S).astype(np.int32)
+    syms = rng.integers(0, alphabet, size=(S, T))
+
+    # pack each substream on the host (word-aligned starts)
+    words_parts, sub_words = [], []
+    for s in range(S):
+        bw = BitWriter()
+        for t in range(int(totals[s])):
+            tr = tid_vec[t]
+            bw.put_bits(int(codes[tr, syms[s, t]]), int(lens[tr, syms[s, t]]))
+        bw.flush()
+        w = bitpack.bytes_to_words(bw.getvalue())
+        words_parts.append(w)
+        sub_words.append(w.shape[0])
+    linear = (np.concatenate(words_parts) if words_parts
+              else np.zeros(0, np.uint32))
+    sub_words = np.array(sub_words, np.int32)
+
+    dense = bitpack.dense_words_np(linear, sub_words)
+    Sp = dense.shape[1]
+    totals_p = np.zeros(Sp, np.int32)
+    totals_p[:S] = totals
+    step_luts = luts[tid_vec]
+    got = np.asarray(bitpack.unpack_substreams_uniform_pallas(
+        jnp.asarray(dense), jnp.asarray(step_luts), jnp.asarray(totals_p),
+        interpret=True))[:S]
+
+    # reference: the python walk over the same streams
+    start = np.concatenate([[0], np.cumsum(sub_words)[:-1]])
+    valid = np.arange(T)[None, :] < totals[:, None]
+    ref = bitpack._unpack_substreams_py(
+        linear, start, luts, np.broadcast_to(tid_vec, (S, T)), valid,
+        T, max_len)
+    np.testing.assert_array_equal(np.where(valid, got, 0),
+                                  np.where(valid, ref, 0))
+
+
+def test_pallas_walk_shared_luts():
+    rng = np.random.default_rng(99)
+    lens, codes, luts = _random_tables(rng, 1, 30, 8)
+    S, T = 140, 64
+    totals = np.full(S, T, np.int32)
+    syms = rng.integers(0, 30, size=(S, T))
+    words_parts, sub_words = [], []
+    for s in range(S):
+        bw = BitWriter()
+        for t in range(T):
+            bw.put_bits(int(codes[0, syms[s, t]]), int(lens[0, syms[s, t]]))
+        bw.flush()
+        w = bitpack.bytes_to_words(bw.getvalue())
+        words_parts.append(w)
+        sub_words.append(w.shape[0])
+    linear = np.concatenate(words_parts)
+    sub_words = np.array(sub_words, np.int32)
+    dense = bitpack.dense_words_np(linear, sub_words)
+    Sp = dense.shape[1]
+    totals_p = np.zeros(Sp, np.int32)
+    totals_p[:S] = totals
+    shared = np.broadcast_to(luts[0], (bitpack._WALK_TC, luts.shape[1]))
+    got = np.asarray(bitpack.unpack_substreams_uniform_pallas(
+        jnp.asarray(dense), jnp.asarray(np.ascontiguousarray(shared)),
+        jnp.asarray(totals_p), n_steps=T, shared_luts=True,
+        interpret=True))[:S]
+    start = np.concatenate([[0], np.cumsum(sub_words)[:-1]])
+    valid = np.ones((S, T), bool)
+    ref = bitpack._unpack_substreams_py(
+        linear, start, luts, np.zeros((S, T), np.int32), valid, T, 8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_walk_full_roundtrip(monkeypatch):
+    """Full container round trip with the walk forced on (interpret mode on
+    CPU) — exercises parse gating, dense layout, and both walk branches."""
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+    from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+    cfg = CodecConfig(records_per_substream=4)
+    data = synthesize_fastq(600, read_len=36, seed=11, ambiguity_rate=0.01)
+    blob = compress_bytes(data, cfg)
+    assert decompress_bytes(blob, cfg) == data

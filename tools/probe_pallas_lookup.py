@@ -93,7 +93,25 @@ def main():
 
     # attribution: quality walk alone
     from phyngsc_tpu.models import quality as qmod
-    if p.pplan is not None:
+    if getattr(p, "use_qwalk", False):
+        t_q = slope_ms(
+            lambda: qmod.decode_device_walk(
+                dev["q_dense"], dev["lens"], dev["q_luts"],
+                p.L, p.Lt, p.G, cfg.max_code_len),
+            sync1)
+        print(f"quality pallas walk alone: {t_q:7.2f} ms "
+              f"(dense {dev['q_dense'].shape})", flush=True)
+        from phyngsc_tpu.models import dna as dmod
+        if getattr(p, "use_dwalk", False):
+            import jax.numpy as jnp2
+            keep = jnp2.ones((p.Rp, p.L), bool)
+            t_d = slope_ms(
+                lambda: dmod.decode_huffman_walk(
+                    dev["d_dense"], keep, dev["d_luts"], p.L, p.G,
+                    cfg.max_code_len),
+                sync1)
+            print(f"dna pallas walk alone: {t_d:7.2f} ms", flush=True)
+    elif p.pplan is not None:
         luts2, _, _, pair_bits = p.pplan
         t_q = slope_ms(
             lambda: qmod.decode_device_pairs(
