@@ -314,34 +314,62 @@ def decode_huffman(words: jnp.ndarray, sub_n_words: jnp.ndarray,
     return jnp.where(keep, out, 0).astype(jnp.uint8)
 
 
+def _keep_slot_mask(keep: jnp.ndarray, G: int, Sp: int) -> jnp.ndarray:
+    """(R, L) keep → (T, Sp) slot mask for the masked walk: slot t = g*L+p
+    of lane s consumes a symbol iff keep[s*G+g, p]."""
+    R, L = keep.shape
+    S = R // G
+    m = keep.reshape(S, G * L).T.astype(jnp.uint8)     # (T, S)
+    return jnp.pad(m, ((0, 0), (0, Sp - S)))
+
+
 @functools.partial(jax.jit, static_argnames=("L", "records_per_substream",
                                              "lut_bits", "interpret"))
 def decode_huffman_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
                         luts: jnp.ndarray, L: int,
                         records_per_substream: int, lut_bits: int,
                         interpret: bool = False):
-    """decode_huffman with the sequential walk replaced by the pallas LUT
-    kernel (single shared tree; kept-count validity). Bit-identical."""
+    """decode_huffman via the masked pallas walk: slots are (record,
+    position) pairs, kept slots consume the lane's next symbol — decoded
+    symbols land directly in (R, L) layout, no step->(r,p) gather.
+    Bit-identical to decode_huffman."""
     G = records_per_substream
     R = keep.shape[0]
     S = R // G
     T = G * L
-    k32 = keep.astype(jnp.int32)
-    kept_per_rec = jnp.sum(k32, axis=1)
-    kept_sub = kept_per_rec.reshape(S, G)
-    cum = jnp.cumsum(kept_sub, axis=1)
-    totals = cum[:, -1]
-    totals_p = jnp.pad(totals, (0, words_dense.shape[1] - S))
+    Sp = words_dense.shape[1]
     shared = jnp.broadcast_to(luts[0], (bitpack._WALK_TC, luts.shape[1]))
-    syms = bitpack.unpack_substreams_uniform_pallas(
-        words_dense, shared, totals_p, n_steps=T, shared_luts=True,
-        interpret=interpret)[:S]
-    before_rec = (cum - kept_sub).reshape(R)
-    within = jnp.cumsum(k32, axis=1) - k32
-    step_of = before_rec[:, None] + within
-    sub_of_r = jnp.arange(R, dtype=jnp.int32) // G
-    out = syms[sub_of_r[:, None], jnp.clip(step_of, 0, T - 1)]
+    syms = bitpack.unpack_substreams_masked_pallas(
+        words_dense, shared, _keep_slot_mask(keep, G, Sp), n_steps=T,
+        shared_luts=True, interpret=interpret)[:S]
+    out = syms.reshape(R, L)
     return jnp.where(keep, out, 0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "records_per_substream",
+                                             "interpret"))
+def decode_plain_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
+                      L: int, records_per_substream: int,
+                      interpret: bool = False):
+    """decode_plain via the masked walk: the 2-bit plain code is a 4-leaf
+    'tree' (every entry len 2), so the same kernel replaces
+    extract_fixed_width's two general gathers (measured 37.9 ms for the
+    2.36M-element extraction at 65536x36 on v5e)."""
+    G = records_per_substream
+    R = keep.shape[0]
+    S = R // G
+    T = G * L
+    Sp = words_dense.shape[1]
+    # window top-7 bits index a 128-lane table; entry depends only on the
+    # top 2 bits: sym = idx >> 5, len 2
+    idx = jnp.arange(128, dtype=jnp.int32)
+    lut = (jnp.int32(2) << 9) | (idx >> 5)
+    shared = jnp.broadcast_to(lut[None, :], (bitpack._WALK_TC, 128))
+    syms = bitpack.unpack_substreams_masked_pallas(
+        words_dense, shared, _keep_slot_mask(keep, G, Sp), n_steps=T,
+        shared_luts=True, interpret=interpret)[:S]
+    nucs = jnp.asarray(ACGT)[syms.reshape(R, L)]
+    return jnp.where(keep, nucs, 0).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

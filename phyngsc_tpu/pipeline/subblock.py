@@ -668,7 +668,7 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     p.is_delta = p.is_delta or is_delta_hdr
     br.align()
     p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), "dec_d")
-    p.use_dwalk = bool(_walk_ok and R and p.d_plan.mode == dna.MODE_HUFFMAN)
+    p.use_dwalk = bool(_walk_ok and R)  # masked walk covers plain + Huffman
 
     # restored-output alphabet for the packed D2H fetch: provably complete —
     # kept positions hold DNA-plan symbols (plain mode only fires on pure
@@ -778,7 +778,11 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
     # positions)
     keep = _keep_from_quality(qual_t, lens)
     if d_plain:
-        dna_syms = dna.decode_plain(d_words, d_sub, keep, L, G)
+        if use_dwalk:
+            dna_syms = dna.decode_plain_walk(d_dense, keep, L, G,
+                                             interpret=interpret)
+        else:
+            dna_syms = dna.decode_plain(d_words, d_sub, keep, L, G)
     elif use_dwalk:
         dna_syms = dna.decode_huffman_walk(d_dense, keep, d_luts, L, G,
                                            lut_bits, interpret=interpret)

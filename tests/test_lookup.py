@@ -155,3 +155,26 @@ def test_pallas_walk_full_roundtrip(monkeypatch):
     data = synthesize_fastq(600, read_len=36, seed=11, ambiguity_rate=0.01)
     blob = compress_bytes(data, cfg)
     assert decompress_bytes(blob, cfg) == data
+
+
+def test_pallas_walk_huffman_dna_roundtrip(monkeypatch):
+    """DNA stays Huffman-coded when IUPAC symbols can't transfer (quality
+    outside [33,40]) — exercises decode_huffman_walk under the forced walk."""
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+
+    rng = np.random.default_rng(5)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    recs = []
+    for i in range(600):
+        seq = acgt[rng.integers(0, 4, size=36)].copy()
+        seq[rng.integers(0, 36)] = ord("N")  # high quality → no transfer
+        qual = np.full(36, ord("I"), np.uint8)
+        recs.append(b"@r%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + qual.tobytes() + b"\n")
+    data = b"".join(recs)
+    cfg = CodecConfig(records_per_substream=4)
+    blob = compress_bytes(data, cfg)
+    assert decompress_bytes(blob, cfg) == data

@@ -111,6 +111,35 @@ def main():
                     cfg.max_code_len),
                 sync1)
             print(f"dna pallas walk alone: {t_d:7.2f} ms", flush=True)
+        else:
+            import jax.numpy as jnp2
+            qual_t = qmod.decode_device_walk(
+                dev["q_dense"], dev["lens"], dev["q_luts"],
+                p.L, p.Lt, p.G, cfg.max_code_len)
+            keep = sbmod._keep_from_quality(qual_t, dev["lens"])
+            jax.block_until_ready(keep)
+            t_d = slope_ms(
+                lambda: dmod.decode_plain(dev["d_words"], dev["d_sub"],
+                                          keep, p.L, p.G),
+                sync1)
+            print(f"dna plain decode alone: {t_d:7.2f} ms", flush=True)
+            if p.out_alpha is not None:
+                seq_j, qual_j = dmod.restore_ambiguity(
+                    dmod.decode_plain(dev["d_words"], dev["d_sub"], keep,
+                                      p.L, p.G), qual_t, dev["lens"])
+                t_r = slope_ms(
+                    lambda: dmod.restore_ambiguity(
+                        dmod.decode_plain(dev["d_words"], dev["d_sub"],
+                                          keep, p.L, p.G),
+                        qual_t, dev["lens"])[0],
+                    sync1)
+                print(f"dna plain + restore: {t_r:7.2f} ms", flush=True)
+                t_p = slope_ms(
+                    lambda: sbmod._pack_out(
+                        seq_j, qual_j, dev["out_tab"],
+                        sbmod._out_width(p.out_alpha.shape[0]), p.q6),
+                    sync1)
+                print(f"pack_out alone: {t_p:7.2f} ms", flush=True)
     elif p.pplan is not None:
         luts2, _, _, pair_bits = p.pplan
         t_q = slope_ms(
