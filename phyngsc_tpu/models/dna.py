@@ -360,14 +360,12 @@ def decode_plain_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
     S = R // G
     T = G * L
     Sp = words_dense.shape[1]
-    # window top-7 bits index a 128-lane table; entry depends only on the
-    # top 2 bits: sym = idx >> 5, len 2
-    idx = jnp.arange(128, dtype=jnp.int32)
-    lut = (jnp.int32(2) << 9) | (idx >> 5)
-    shared = jnp.broadcast_to(lut[None, :], (bitpack._WALK_TC, 128))
+    # plain2: entries are computed arithmetically from the window's top two
+    # bits — the table input is a placeholder (never read)
+    shared = jnp.zeros((bitpack._WALK_TC, 128), jnp.int32)
     syms = bitpack.unpack_substreams_masked_pallas(
         words_dense, shared, _keep_slot_mask(keep, G, Sp), n_steps=T,
-        shared_luts=True, interpret=interpret)[:S]
+        shared_luts=True, plain2=True, interpret=interpret)[:S]
     nucs = jnp.asarray(ACGT)[syms.reshape(R, L)]
     return jnp.where(keep, nucs, 0).astype(jnp.uint8)
 

@@ -604,73 +604,82 @@ def unpack_substreams_uniform_pallas(
     return out.reshape(Tp, Sp).T[:, :T]
 
 
-def _walk_masked_kernel(words_ref, luts_ref, mask_ref, out_ref,
-                        wi_ref, bi_ref):
-    """Masked walk: step t is an OUTPUT SLOT, not a symbol index — the lane
-    consumes its next symbol only where mask[t] is set (and emits 0
-    elsewhere). Decoded symbols therefore land directly in slot order: with
-    slots (g, p) this produces the (R, L) layout with NO scatter/gather —
-    the per-element general gather XLA would need costs ~16 ns/elem
-    (measured 37.9 ms for the 2.36M-element plain-DNA extraction)."""
-    k = pl.program_id(0)
-    Tc = out_ref.shape[0]
-    Wmax = words_ref.shape[0]
-    V = luts_ref.shape[1]
-    lut_bits = int(V).bit_length() - 1
+def _make_masked_kernel(plain2: bool):
+    """Masked walk kernel: step t is an OUTPUT SLOT, not a symbol index —
+    the lane consumes its next symbol only where mask[t] is set (and emits
+    0 elsewhere). Decoded symbols therefore land directly in slot order:
+    with slots (g, p) this produces the (R, L) layout with NO
+    scatter/gather — the per-element general gather XLA would need costs
+    ~16 ns/elem (measured 37.9 ms for the 2.36M-element plain-DNA
+    extraction). plain2: all codes are 2-bit values (plain DNA) — the
+    entry is arithmetic, no LUT select (and Mosaic's select lowering for
+    small V is not implemented anyway)."""
 
-    @pl.when(k == 0)
-    def _():
-        wi_ref[:] = jnp.zeros_like(wi_ref)
-        bi_ref[:] = jnp.zeros_like(bi_ref)
+    def kernel(words_ref, luts_ref, mask_ref, out_ref, wi_ref, bi_ref):
+        k = pl.program_id(0)
+        Tc = out_ref.shape[0]
+        Wmax = words_ref.shape[0]
+        V = luts_ref.shape[1]
+        lut_bits = int(V).bit_length() - 1
 
-    vny = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
+        @pl.when(k == 0)
+        def _():
+            wi_ref[:] = jnp.zeros_like(wi_ref)
+            bi_ref[:] = jnp.zeros_like(bi_ref)
 
-    def step(i, _):
-        wi = wi_ref[:]
-        bi = bi_ref[:]
-        m = jnp.min(wi)
-        span = jnp.minimum(jnp.max(wi) + 2 - m, Wmax - m)
+        vny = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
 
-        def fetch(j, acc):
-            w0a, w1a = acc
-            tile = words_ref[jnp.minimum(m + j, Wmax - 1)]
-            w0a = jnp.where(wi == m + j, tile, w0a)
-            w1a = jnp.where(wi + 1 == m + j, tile, w1a)
-            return w0a, w1a
+        def step(i, _):
+            wi = wi_ref[:]
+            bi = bi_ref[:]
+            m = jnp.min(wi)
+            span = jnp.minimum(jnp.max(wi) + 2 - m, Wmax - m)
 
-        zero = jnp.zeros_like(wi, dtype=jnp.uint32)
-        w0, w1 = jax.lax.fori_loop(0, span, fetch, (zero, zero))
+            def fetch(j, acc):
+                w0a, w1a = acc
+                tile = words_ref[jnp.minimum(m + j, Wmax - 1)]
+                w0a = jnp.where(wi == m + j, tile, w0a)
+                w1a = jnp.where(wi + 1 == m + j, tile, w1a)
+                return w0a, w1a
 
-        b = bi.astype(jnp.uint32)
-        win = jnp.where(bi == 0, w0,
-                        (w0 << b) | (w1 >> (jnp.uint32(WORD_BITS) - b)))
-        idx = (win >> jnp.uint32(WORD_BITS - lut_bits)).astype(jnp.int32)
+            zero = jnp.zeros_like(wi, dtype=jnp.uint32)
+            w0, w1 = jax.lax.fori_loop(0, span, fetch, (zero, zero))
 
-        lut_row = luts_ref[i].reshape(1, 1, V)
-        cmp = idx[:, :, None] == vny
-        entry = jnp.sum(jnp.where(cmp, lut_row, 0), axis=2)
+            b = bi.astype(jnp.uint32)
+            win = jnp.where(bi == 0, w0,
+                            (w0 << b) | (w1 >> (jnp.uint32(WORD_BITS) - b)))
+            if plain2:
+                entry = (jnp.int32(2) << 9) | (win >> 30).astype(jnp.int32)
+            else:
+                idx = (win >> jnp.uint32(WORD_BITS - lut_bits)
+                       ).astype(jnp.int32)
+                lut_row = luts_ref[i].reshape(1, 1, V)
+                cmp = idx[:, :, None] == vny
+                entry = jnp.sum(jnp.where(cmp, lut_row, 0), axis=2)
 
-        consume = mask_ref[i] != 0
-        out_ref[i] = jnp.where(consume, entry & 0x1FF, 0)
-        l = jnp.where(consume, entry >> 9, 0)
-        b2 = bi + l
-        wi_ref[:] = wi + (b2 >> 5)
-        bi_ref[:] = b2 & 31
-        return 0
+            consume = mask_ref[i] != 0
+            out_ref[i] = jnp.where(consume, entry & 0x1FF, 0)
+            l = jnp.where(consume, entry >> 9, 0)
+            b2 = bi + l
+            wi_ref[:] = wi + (b2 >> 5)
+            bi_ref[:] = b2 & 31
+            return 0
 
-    jax.lax.fori_loop(0, Tc, step, 0)
+        jax.lax.fori_loop(0, Tc, step, 0)
+
+    return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "shared_luts", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_steps", "shared_luts", "plain2", "interpret"))
 def unpack_substreams_masked_pallas(
         words_dense: jnp.ndarray, step_luts: jnp.ndarray,
         mask: jnp.ndarray, n_steps: int = 0, shared_luts: bool = False,
-        interpret: bool = False) -> jnp.ndarray:
+        plain2: bool = False, interpret: bool = False) -> jnp.ndarray:
     """Masked pallas walk: mask (T, Sp) uint8/bool — slot (t, s) consumes
     the lane's next symbol iff set; unset slots emit 0 and do not advance.
-    Otherwise identical to unpack_substreams_uniform_pallas. Returns
-    (Sp, T) int32 in slot order."""
+    Otherwise identical to unpack_substreams_uniform_pallas. plain2 decodes
+    fixed 2-bit codes with no LUT. Returns (Sp, T) int32 in slot order."""
     Wmax, Sp = words_dense.shape
     V = step_luts.shape[1]
     T = n_steps or step_luts.shape[0]
@@ -687,7 +696,7 @@ def unpack_substreams_masked_pallas(
     mask3 = mask.astype(jnp.uint8).reshape(Tp, Sr, 128)
     lut_map = (lambda k: (0, 0)) if shared_luts else (lambda k: (k, 0))
     out = pl.pallas_call(
-        _walk_masked_kernel,
+        _make_masked_kernel(plain2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Wmax, Sr, 128), lambda k: (0, 0, 0),

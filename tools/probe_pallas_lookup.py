@@ -105,12 +105,18 @@ def main():
         if getattr(p, "use_dwalk", False):
             import jax.numpy as jnp2
             keep = jnp2.ones((p.Rp, p.L), bool)
-            t_d = slope_ms(
-                lambda: dmod.decode_huffman_walk(
-                    dev["d_dense"], keep, dev["d_luts"], p.L, p.G,
-                    cfg.max_code_len),
-                sync1)
-            print(f"dna pallas walk alone: {t_d:7.2f} ms", flush=True)
+            if p.d_plan.mode == dmod.MODE_PLAIN:
+                t_d = slope_ms(
+                    lambda: dmod.decode_plain_walk(dev["d_dense"], keep,
+                                                   p.L, p.G), sync1)
+                print(f"dna plain2 walk alone: {t_d:7.2f} ms", flush=True)
+            else:
+                t_d = slope_ms(
+                    lambda: dmod.decode_huffman_walk(
+                        dev["d_dense"], keep, dev["d_luts"], p.L, p.G,
+                        cfg.max_code_len),
+                    sync1)
+                print(f"dna pallas walk alone: {t_d:7.2f} ms", flush=True)
         else:
             import jax.numpy as jnp2
             qual_t = qmod.decode_device_walk(
