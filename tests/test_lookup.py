@@ -178,3 +178,18 @@ def test_pallas_walk_huffman_dna_roundtrip(monkeypatch):
     cfg = CodecConfig(records_per_substream=4)
     blob = compress_bytes(data, cfg)
     assert decompress_bytes(blob, cfg) == data
+
+
+@pytest.mark.parametrize("R,L,A", [(100, 7, 256), (1030, 36, 256),
+                                   (64, 5, 128)])
+def test_pallas_position_histogram(R, L, A):
+    from phyngsc_tpu.ops import histogram
+    rng = np.random.default_rng(R + L)
+    sym = rng.integers(0, A, size=(R, L)).astype(np.uint8)
+    valid = rng.random((R, L)) < 0.8
+    got = np.asarray(histogram.position_histogram_pallas(
+        jnp.asarray(sym), jnp.asarray(valid), A, interpret=True))
+    ref = np.zeros((L, A), np.int32)
+    for p in range(L):
+        np.add.at(ref[p], sym[valid[:, p], p], 1)
+    np.testing.assert_array_equal(got, ref)
