@@ -34,19 +34,40 @@ import numpy as np
 SEQ_RAW = 0
 SEQ_2BIT = 1
 SEQ_3BIT = 2
+#: 2-bit base plane + sparse exception words `(flat_idx << 8) | raw_byte`
+#: appended after it — IUPAC-rich reads (reference ambiguity set,
+#: phyNGSC.cpp:184-206) are typically >99% ACGT, so raw bytes (4x upload)
+#: for the whole plane just to carry a few ambiguity codes is waste. The
+#: device reconstructs with ONE tiny scatter (mode="drop"; padding words
+#: carry idx 0xFFFFFF, out of bounds by the f.size <= 0xFFFFFF guard).
+SEQ_2BIT_EXC = 3
 QUAL_RAW = 0
 QUAL_6BIT = 1
 
 _PER = {2: 16, 3: 10, 6: 5, 8: 4}  # width -> values per uint32 word
 
+#: exception-word counts are padded to these buckets so sub-blocks with
+#: different ambiguity counts share one compiled _analyze_all executable
+_EXC_MIN_BUCKET = 1024
+
+
+def _exc_bucket(k: int) -> int:
+    b = _EXC_MIN_BUCKET
+    while b < k:
+        b <<= 1
+    return b
+
 
 def _width(kind: str, mode: int) -> int:
     if kind == "seq":
-        return {SEQ_2BIT: 2, SEQ_3BIT: 3}.get(mode, 8)
+        return {SEQ_2BIT: 2, SEQ_3BIT: 3, SEQ_2BIT_EXC: 2}.get(mode, 8)
     return 6 if mode == QUAL_6BIT else 8
 
 
 def n_words(n_values: int, kind: str, mode: int) -> int:
+    """Word count of the fixed-width plane. For SEQ_2BIT_EXC this is the
+    BASE (2-bit) plane only — the data-dependent exception words follow it;
+    consumers derive their count from the buffer length."""
     per = _PER[_width(kind, mode)]
     return (n_values + per - 1) // per
 
@@ -66,6 +87,23 @@ def pack_seq_np(seq: np.ndarray):
     acgt = (f == 0) | (f == 65) | (f == 67) | (f == 71) | (f == 84)
     if acgt.all():
         return SEQ_2BIT, _pack_fixed_np((f >> 1) & 3, 2)
+    exc = np.flatnonzero(~acgt)
+    # sparse non-ACGT (N's, IUPAC ambiguity): 2-bit plane + exception list.
+    # The 1/32 cap bounds the device scatter (~3% of cells worst case) and
+    # guarantees the word count beats both 3-bit and raw even after the
+    # bucket round-up: RL/16 + 2*RL/32 = RL/8 < RL/4 always, and exc mode
+    # is preferred over 3-bit only when actually smaller (checked below).
+    if f.size <= 0xFFFFFF and exc.size <= f.size // 32:
+        n_exc = n_words(f.size, "seq", SEQ_2BIT) + _exc_bucket(int(exc.size))
+        acgtn = bool((acgt | (f == 78)).all())
+        better_3bit = acgtn and n_words(f.size, "seq", SEQ_3BIT) <= n_exc
+        # tiny planes: the minimum exception bucket can exceed the raw plane
+        if n_exc < n_words(f.size, "seq", SEQ_RAW) and not better_3bit:
+            base = _pack_fixed_np((f >> 1) & 3, 2)
+            ew = np.full(n_exc - base.shape[0], 0xFFFFFFFF, np.uint32)
+            ew[: exc.size] = (exc.astype(np.uint32) << np.uint32(8)) \
+                | f[exc].astype(np.uint32)
+            return SEQ_2BIT_EXC, np.concatenate([base, ew])
     if (acgt | (f == 78)).all():  # ACGTN: N -> code 4
         v = np.where(f == 78, 4, (f >> 1) & 3).astype(np.uint32)
         return SEQ_3BIT, _pack_fixed_np(v, 3)
@@ -91,9 +129,18 @@ def _unpack_words(words: jnp.ndarray, w: int, R: int, L: int) -> jnp.ndarray:
 
 def unpack_seq(words: jnp.ndarray, mode: int, R: int, L: int) -> jnp.ndarray:
     """Inverse of pack_seq_np on device → (R, L) uint8 symbol plane
-    (2-bit padding decodes to 'A'; consumers mask by record length)."""
+    (2-bit padding decodes to 'A'; consumers mask by record length).
+    For SEQ_2BIT_EXC, words = [base plane | exception words] and the
+    exception count is taken from the buffer length (static under jit)."""
     if mode == SEQ_RAW:
         return _unpack_words(words, 8, R, L).astype(jnp.uint8)
+    if mode == SEQ_2BIT_EXC:
+        nb = n_words(R * L, "seq", SEQ_2BIT)
+        base = unpack_seq(words[:nb], SEQ_2BIT, R, L)
+        ew = words[nb:]
+        idx = (ew >> jnp.uint32(8)).astype(jnp.int32)
+        sym = (ew & jnp.uint32(0xFF)).astype(jnp.uint8)
+        return base.reshape(-1).at[idx].set(sym, mode="drop").reshape(R, L)
     v = _unpack_words(words, 2 if mode == SEQ_2BIT else 3, R, L)
     # inverse of the nucleotide code: 0→'A' 1→'C' 2→'T' 3→'G' (4→'N')
     chars = (jnp.uint32(65) + jnp.where(v == 1, 2, 0)

@@ -252,7 +252,7 @@ def _fuse_seq_qual(seq, qual):
 
 
 #: lane widths -> values per uint32 word (same layout as ops/transfer)
-_OUT_PER = {2: 16, 3: 10, 4: 8, 6: 5, 8: 4}
+_OUT_PER = {2: 16, 3: 10, 4: 8, 5: 6, 6: 5, 8: 4}
 
 
 def _out_fetch_words(n: int, w: int, q6: bool) -> tuple:
@@ -318,7 +318,12 @@ def _analyze_all(blob, lens, is_delta=False, seq_mode=0, qual_mode=0, L=1):
     and per-transfer latency, so call and transfer counts both stay at one.
     """
     R = lens.shape[0]
-    ns = transfer.n_words(R * L, "seq", seq_mode)
+    if seq_mode == transfer.SEQ_2BIT_EXC:
+        # base plane + data-dependent exception words: everything before
+        # the (statically sized) quality plane belongs to the sequence
+        ns = blob.shape[0] - transfer.n_words(R * L, "qual", qual_mode)
+    else:
+        ns = transfer.n_words(R * L, "seq", seq_mode)
     seq = transfer.unpack_seq(blob[:ns], seq_mode, R, L)
     qual = transfer.unpack_qual(blob[ns:], qual_mode, R, L)
     if is_delta:
@@ -693,9 +698,11 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
         else:
             restored_q.append(s)
     p.q6 = max(restored_q) <= 96
+    # 32 covers ACGT + the full 15-char IUPAC ambiguity set with room to
+    # spare; beyond that (exotic alphabets) the raw u8 plane is shipped
     alpha = sorted(dsyms | rest_chars)
     p.out_alpha = (np.array(alpha, np.uint8)
-                   if 0 < len(alpha) <= 16 and R else None)
+                   if 0 < len(alpha) <= 32 and R else None)
     return p
 
 
@@ -716,9 +723,11 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
         dev["pair_vec"] = jax.device_put(pair_vec)
         dev["half_vec"] = jax.device_put(half_vec)
     else:
-        dev["q_luts"] = jax.device_put(p.q_tables.luts(cfg.max_code_len))
+        dev["q_luts"] = jax.device_put(
+            p.q_tables.luts(cfg.max_code_len).astype(np.int16))
     if p.d_plan.mode != dna.MODE_PLAIN:
-        dev["d_luts"] = jax.device_put(p.d_plan.luts(cfg.max_code_len))
+        dev["d_luts"] = jax.device_put(
+            p.d_plan.luts(cfg.max_code_len).astype(np.int16))
     # dense per-lane word planes for the pallas walk (host layout; replaces
     # the linear uploads on the walked streams)
     if p.use_qwalk:
@@ -739,7 +748,11 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
 
 
 def _out_width(n_alpha: int) -> int:
-    return 2 if n_alpha <= 4 else 3 if n_alpha <= 8 else 4
+    if n_alpha <= 4:
+        return 2
+    if n_alpha <= 8:
+        return 3
+    return 4 if n_alpha <= 16 else 5
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -758,7 +771,15 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
     output. One launch per sub-block (the relay/PCIe path pays per-call
     latency; on-chip it also removes inter-executable HBM round trips —
     mirrors _analyze_all/_encode_all on the encode side). Unused inputs are
-    passed as None (empty pytree) so one signature covers every mode."""
+    passed as None (empty pytree) so one signature covers every mode.
+
+    Decode LUT planes arrive int16 ((len << 9) | sym <= max_code_len*512 +
+    511 < 2^15) to halve their upload bytes and are widened here — the walk
+    and gather kernels all consume int32."""
+    if q_luts is not None:
+        q_luts = q_luts.astype(jnp.int32)
+    if d_luts is not None:
+        d_luts = d_luts.astype(jnp.int32)
     if use_qwalk:
         # pallas LUT walk: no gathers at all (the fastest path)
         qual_t = quality.decode_device_walk(

@@ -55,6 +55,52 @@ def test_packed_sizes():
     assert transfer.n_words(10, "seq", transfer.SEQ_RAW) == 3
 
 
+def test_seq_2bit_exc_sparse_iupac_roundtrip():
+    rng = np.random.default_rng(2)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    seq = acgt[rng.integers(0, 4, size=(300, 36))].copy()
+    flat = seq.reshape(-1)
+    pos = rng.choice(flat.size, 50, replace=False)  # 0.46% ambiguity
+    flat[pos] = np.frombuffer(b"NYRWSKMDVHBXU.-", np.uint8)[
+        rng.integers(0, 15, size=50)]
+    mode, words = transfer.pack_seq_np(seq)
+    assert mode == transfer.SEQ_2BIT_EXC
+    # base plane + exception bucket, below the raw fallback (the minimum
+    # 1024-word bucket dominates on a plane this small; real sub-blocks
+    # approach the 4x base-plane reduction)
+    base = transfer.n_words(seq.size, "seq", transfer.SEQ_2BIT)
+    assert base < words.shape[0] <= base + 1024
+    assert words.shape[0] < transfer.n_words(seq.size, "seq", transfer.SEQ_RAW)
+    out = np.asarray(transfer.unpack_seq(jnp.array(words), mode, 300, 36))
+    np.testing.assert_array_equal(out, seq)
+
+
+def test_seq_2bit_exc_beats_3bit_on_sparse_n():
+    rng = np.random.default_rng(3)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    seq = acgt[rng.integers(0, 4, size=(2000, 40))].copy()
+    flat = seq.reshape(-1)
+    flat[rng.choice(flat.size, 30, replace=False)] = ord("N")
+    mode, words = transfer.pack_seq_np(seq)
+    assert mode == transfer.SEQ_2BIT_EXC
+    assert words.shape[0] < transfer.n_words(seq.size, "seq", transfer.SEQ_3BIT)
+    out = np.asarray(transfer.unpack_seq(jnp.array(words), mode, 2000, 40))
+    np.testing.assert_array_equal(out, seq)
+
+
+def test_seq_exc_cap_falls_back_to_3bit():
+    rng = np.random.default_rng(4)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    seq = acgt[rng.integers(0, 4, size=(500, 40))].copy()
+    flat = seq.reshape(-1)
+    k = flat.size // 32 + 1  # just above the exception-fraction cap
+    flat[rng.choice(flat.size, k, replace=False)] = ord("N")
+    mode, words = transfer.pack_seq_np(seq)
+    assert mode == transfer.SEQ_3BIT
+    out = np.asarray(transfer.unpack_seq(jnp.array(words), mode, 500, 40))
+    np.testing.assert_array_equal(out, seq)
+
+
 def test_seq_3bit_acgtn_roundtrip():
     import numpy as np
 
