@@ -34,7 +34,10 @@ def _hist_kernel(sym_ref, msk_ref, out_ref):
 
     def sub(j, acc):
         s = sym_ref[pl.ds(j * _H_RSUB, _H_RSUB)]
-        m = msk_ref[pl.ds(j * _H_RSUB, _H_RSUB)]
+        # widen BEFORE the minor-dim insert: Mosaic only lowers non-no-op
+        # minor-dim reshapes/broadcasts for 32-bit vectors (an i8
+        # m[:, :, None] fails to compile on current toolchains)
+        m = msk_ref[pl.ds(j * _H_RSUB, _H_RSUB)].astype(jnp.int32)
         oh = (s[:, :, None]
               == jax.lax.broadcasted_iota(jnp.int32, (_H_RSUB, L, A), 2))
         oh = jnp.logical_and(oh, m[:, :, None] != 0)
