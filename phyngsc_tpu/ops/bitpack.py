@@ -717,6 +717,119 @@ def unpack_substreams_masked_pallas(
     return out.reshape(Tp, Sp).T[:, :T]
 
 
+@functools.partial(jax.jit, static_argnames=("Wmax", "Sp"))
+def dense_words_device(words: jnp.ndarray, sub_n_words: jnp.ndarray,
+                       Wmax: int, Sp: int) -> jnp.ndarray:
+    """Device twin of dense_words_np: linear packed words (~the compressed
+    payload) → the (Wmax, Sp) per-lane plane the pallas walk consumes —
+    so the host uploads the LINEAR stream instead of the padded plane
+    (measured 1.8-2.3x the real words; the wire is the decode bottleneck
+    on PCIe/relay links, tasks.cpp:957-1101 is the decode side replaced).
+
+    Built with two stable sorts (XLA:TPU serializes gather/scatter; sort is
+    the fast data-movement primitive — same rationale as pack_bits_rows /
+    compact_rows). In lane-major slot order the valid slots' source indices
+    are exactly 0..total-1 (start = exclusive prefix sum of sub_n_words), so
+    sort #1 of (source_key, slot_id) yields slot ids in source order, and
+    sort #2 of (slot_id, words padded to the plane) lands every word at its
+    slot; invalid slots receive the zero padding (their keys sort past
+    `total`, stably in slot order, exactly facing the zero tail)."""
+    S = sub_n_words.shape[0]
+    sub = jnp.zeros((Sp,), jnp.int32)
+    sub = jax.lax.dynamic_update_slice(sub, sub_n_words.astype(jnp.int32), (0,))
+    start = jnp.cumsum(sub) - sub
+    col = jnp.arange(Wmax, dtype=jnp.int32)[None, :]
+    valid = col < sub[:, None]
+    key = jnp.where(valid, start[:, None] + col,
+                    jnp.int32(0x7FFFFFFF)).reshape(-1)
+    n = Sp * Wmax
+    slot = jnp.arange(n, dtype=jnp.int32)
+    _, sid = jax.lax.sort((key, slot), dimension=0, num_keys=1, is_stable=True)
+    w = words.astype(jnp.uint32)
+    if w.shape[0] < n:
+        w = jnp.concatenate([w, jnp.zeros(n - w.shape[0], jnp.uint32)])
+    else:
+        # words beyond `total` are upload-pad zeros; the plane holds >= total
+        # words by construction (Wmax >= max(sub) per lane), so this drops
+        # only zeros
+        w = w[:n]
+    _, vals = jax.lax.sort((sid, w), dimension=0, num_keys=1, is_stable=True)
+    return vals.reshape(Sp, Wmax).T
+
+
+def dense_geometry(sub_n_words: np.ndarray, row_bucket: int = 256,
+                   lane_pad: int = 128) -> tuple:
+    """(Wmax, Sp) plane geometry for the pallas walk, bucketed so sub-blocks
+    share compiled executables."""
+    sub = np.asarray(sub_n_words)
+    S = sub.shape[0]
+    Sp = max(lane_pad, -(-S // lane_pad) * lane_pad)
+    Wmax = max(int(sub.max()) if S else 0, 1)
+    Wmax = -(-Wmax // row_bucket) * row_bucket
+    return Wmax, Sp
+
+
+def slot_mask(valid: jnp.ndarray, G: int, Sp: int) -> jnp.ndarray:
+    """(R, L) per-cell validity → (T, Sp) slot mask for the masked walk:
+    slot t = g*L + p of lane s consumes a symbol iff valid[s*G+g, p]."""
+    R, L = valid.shape
+    S = R // G
+    m = valid.reshape(S, G * L).T.astype(jnp.uint8)     # (T, S)
+    return jnp.pad(m, ((0, 0), (0, Sp - S)))
+
+
+#: run-word sentinel: start 0xFFFF is past any LUT index (lut_bits <= 16)
+_RUN_SENTINEL = np.uint32(0xFFFF0000)
+
+
+def lut_runs_np(luts: np.ndarray, max_runs: int = 256) -> "np.ndarray | None":
+    """Compress decode LUTs for upload: (T, V) int32 planes → (T, K) uint32
+    run words (start << 16 | entry). Canonical-code LUTs are piecewise
+    constant with <= alphabet-size runs, so this is ~V/K x smaller than the
+    plane (a (37, 4096) int16 quality LUT set is ~300 KB per sub-block;
+    runs are ~10 KB). Returns None when any tree exceeds max_runs or an
+    entry/index does not fit 16 bits (caller falls back to the full plane).
+    expand_lut_runs is the exact device inverse."""
+    luts = np.asarray(luts)
+    T, V = luts.shape
+    if T == 0:
+        return np.zeros((0, 1), np.uint32)
+    if V > (1 << 16) or (luts.size and
+                         (int(luts.max()) >= (1 << 16) or int(luts.min()) < 0)):
+        return None
+    diff = np.diff(luts, axis=1) != 0
+    nruns = diff.sum(axis=1) + 1
+    K = int(nruns.max())
+    if K > max_runs:
+        return None
+    Kb = 8
+    while Kb < K:
+        Kb <<= 1
+    out = np.full((T, Kb), _RUN_SENTINEL, np.uint32)
+    for t in range(T):
+        starts = np.concatenate([[0], np.flatnonzero(diff[t]) + 1])
+        out[t, : starts.shape[0]] = (
+            (starts.astype(np.uint32) << np.uint32(16))
+            | luts[t, starts].astype(np.uint32))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("V",))
+def expand_lut_runs(runs: jnp.ndarray, V: int) -> jnp.ndarray:
+    """Device inverse of lut_runs_np: (T, K) run words → (T, V) int32 LUT
+    planes. One tiny scatter-add of per-run entry deltas (T*K elements;
+    sentinel starts land out of bounds and drop) + a cumsum over V."""
+    T, K = runs.shape
+    starts = (runs >> jnp.uint32(16)).astype(jnp.int32)   # (T, K)
+    vals = (runs & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.zeros((T, 1), jnp.int32), vals[:, :-1]], axis=1)
+    delta = vals - prev
+    rows = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, K))
+    grid = jnp.zeros((T, V), jnp.int32).at[rows, starts].add(
+        delta, mode="drop")
+    return jnp.cumsum(grid, axis=1)
+
+
 def dense_words_np(words: np.ndarray, sub_n_words: np.ndarray,
                    lane_pad: int = 128) -> np.ndarray:
     """Host layout for the pallas walk: linear packed words → (Wmax, Sp)

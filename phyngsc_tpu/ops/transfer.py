@@ -138,7 +138,13 @@ def unpack_seq(words: jnp.ndarray, mode: int, R: int, L: int) -> jnp.ndarray:
         nb = n_words(R * L, "seq", SEQ_2BIT)
         base = unpack_seq(words[:nb], SEQ_2BIT, R, L)
         ew = words[nb:]
-        idx = (ew >> jnp.uint32(8)).astype(jnp.int32)
+        # exception-region padding must never scatter: the producers pad with
+        # 0xFFFFFFFF (idx 0xFFFFFF, out of bounds by the f.size <= 0xFFFFFF
+        # guard in pack_seq_np), but a zero-padded blob would decode to
+        # idx=0/sym=0 and silently clobber cell 0 — mask any word whose
+        # symbol byte is 0 (real exceptions are printable non-ACGT bytes)
+        idx = jnp.where((ew & jnp.uint32(0xFF)) == 0, jnp.uint32(R * L),
+                        ew >> jnp.uint32(8)).astype(jnp.int32)
         sym = (ew & jnp.uint32(0xFF)).astype(jnp.uint8)
         return base.reshape(-1).at[idx].set(sym, mode="drop").reshape(R, L)
     v = _unpack_words(words, 2 if mode == SEQ_2BIT else 3, R, L)

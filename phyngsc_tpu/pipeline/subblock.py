@@ -587,7 +587,7 @@ class _DParsed:
                  "lens_np", "lens_pad", "titles_np", "tlens_np",
                  "q_tables", "q_sub", "q_words", "pplan",
                  "d_plan", "d_sub", "d_words", "out_alpha", "q6",
-                 "use_qwalk", "use_dwalk")
+                 "use_walk", "q_wmax", "d_wmax", "sp")
 
 
 def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
@@ -652,28 +652,39 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
         out[: words.shape[0]] = words
         return out
 
-    # pallas LUT walk (no-gather decode): the fastest path when available —
-    # quality needs uniform record lengths (per-position tree = step % Lt);
-    # DNA's validity is kept-count-based so it works regardless. PHYNGSC_WALK
-    # forces it on (CPU tests run the kernel in interpreter mode) or off.
+    # pallas LUT walk (no-gather decode): the fastest path, covering uniform
+    # records (per-position tree = step % Lt) AND variable lengths (the
+    # masked walk drives trees by slot position and consumes by a lens mask,
+    # quality.decode_device_walk_masked); DNA's validity is kept-count-based
+    # so both kernels apply. PHYNGSC_WALK forces it on (CPU tests run the
+    # kernels in interpreter mode) or off.
     import os as _os
 
     _walk_env = _os.environ.get("PHYNGSC_WALK", "auto")
     _walk_ok = (_walk_env == "pallas"
                 or (_walk_env == "auto" and jax.default_backend() == "tpu"))
-    p.use_qwalk = bool(_walk_ok and not variable and R)
-    p.use_dwalk = False  # set after the DNA header parse (Huffman mode only)
+    p.use_walk = bool(_walk_ok and R)
 
     p.q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)), "dec_q")
     p.pplan = (quality.pair_plan(p.q_tables, Lt)
-               if (not variable and R and not p.use_qwalk) else None)
+               if (not variable and R and not p.use_walk) else None)
 
     br = BitReader(dna_sec)
     p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(br)
     p.is_delta = p.is_delta or is_delta_hdr
     br.align()
     p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), "dec_d")
-    p.use_dwalk = bool(_walk_ok and R)  # masked walk covers plain + Huffman
+
+    # walk dense-plane geometry (device-side densify, bitpack.
+    # dense_words_device): Wmax bucketed + promoted so sub-blocks share one
+    # fused executable; the UPLOAD stays the linear q_words/d_words above
+    p.q_wmax = p.d_wmax = p.sp = 0
+    if p.use_walk:
+        p.q_wmax, p.sp = bitpack.dense_geometry(p.q_sub)
+        p.d_wmax, _ = bitpack.dense_geometry(p.d_sub)
+        if buckets is not None:
+            p.q_wmax = buckets.pick_words("wmax_q", p.q_wmax)
+            p.d_wmax = buckets.pick_words("wmax_d", p.d_wmax)
 
     # restored-output alphabet for the packed D2H fetch: provably complete —
     # kept positions hold DNA-plan symbols (plain mode only fires on pure
@@ -706,9 +717,87 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     return p
 
 
+def _lut_i16(lut: np.ndarray) -> np.ndarray:
+    """Halve LUT upload bytes: entries ((len << 9) | sym) fit int16 only
+    because CodecConfig caps max_code_len at 12 ((12<<9)|511 = 6655 < 2^15);
+    guard here so a future cap raise fails loudly instead of wrapping."""
+    assert lut.size == 0 or int(lut.max()) < (1 << 15), \
+        "LUT entry overflows int16 — max_code_len cap raised?"
+    return lut.astype(np.int16)
+
+
+def _pack_i16_words(lut: np.ndarray) -> np.ndarray:
+    """(T, V) int32 LUT plane → T*V/2 uint32 words (two 16-bit entries per
+    word, MSB first) for the fused walk blob's full-plane fallback."""
+    f = _lut_i16(lut).astype(np.uint32).reshape(-1)
+    return (f[0::2] << np.uint32(16)) | f[1::2]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "V"))
+def _unpack_i16_words(words: jnp.ndarray, T: int, V: int) -> jnp.ndarray:
+    hi = (words >> jnp.uint32(16)).astype(jnp.int32)
+    lo = (words & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    return jnp.stack([hi, lo], axis=1).reshape(T, V)
+
+
+def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
+    """Fuse every decode-side upload into ONE uint32 buffer (the relay/PCIe
+    path pays per-transfer latency; VERDICT r2 next #1): real record count,
+    substream tables, the LINEAR packed words (~the compressed payload —
+    densified on device by bitpack.dense_words_device instead of shipping
+    the padded (Wmax, Sp) plane), per-record lengths only when actually
+    variable (uint16 pairs; uniform lengths regenerate from static Lt),
+    decode LUTs as canonical run words (expand_lut_runs; ~30x smaller than
+    the int16 planes), and the packed-output alphabet. Returns
+    (blob, q_k, d_k, n_q_trees) — *_k: runs per tree (0 = full-plane
+    fallback; d_k < 0 = plain DNA, no table)."""
+    V = 1 << cfg.max_code_len
+    pieces = [np.array([p.R], np.uint32),
+              p.q_sub.astype(np.uint32), p.d_sub.astype(np.uint32),
+              p.q_words, p.d_words]
+    if p.variable:
+        l = p.lens_pad.astype(np.uint32)
+        if l.shape[0] % 2:
+            l = np.append(l, np.uint32(0))
+        pieces.append((l[0::2] << np.uint32(16)) | l[1::2])
+    q_lut = p.q_tables.luts(cfg.max_code_len)
+    n_q_trees = max(q_lut.shape[0], 1)
+    if q_lut.shape[0] == 0:
+        q_lut = np.zeros((1, V), np.int32)
+    q_runs = bitpack.lut_runs_np(q_lut)
+    if q_runs is not None:
+        q_k = q_runs.shape[1]
+        pieces.append(q_runs.reshape(-1))
+    else:
+        q_k = 0
+        pieces.append(_pack_i16_words(q_lut))
+    d_k = -1
+    if p.d_plan.mode != dna.MODE_PLAIN:
+        d_lut = p.d_plan.luts(cfg.max_code_len)
+        d_runs = bitpack.lut_runs_np(d_lut)
+        if d_runs is not None:
+            d_k = d_runs.shape[1]
+            pieces.append(d_runs.reshape(-1))
+        else:
+            d_k = 0
+            pieces.append(_pack_i16_words(d_lut))
+    if p.out_alpha is not None and not p.is_delta:
+        a = np.full(32, 0xFFFFFFFF, np.uint32)
+        a[: p.out_alpha.shape[0]] = p.out_alpha
+        pieces.append(a)
+    return np.concatenate(pieces), q_k, d_k, n_q_trees
+
+
 def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
     """One-time H2D uploads for _decode_device (bench.py hoists this out of
-    its device-only timing loop; pair LUT uploads are cached in pair_plan)."""
+    its device-only timing loop; pair LUT uploads are cached in pair_plan).
+    Walk path (TPU): ONE fused blob upload. Legacy paths (CPU pairs/XLA
+    walk): separate arrays."""
+    if p.use_walk:
+        blob_np, q_k, d_k, n_q_trees = _walk_blob_np(p, cfg)
+        _acct("h2d_bytes", blob_np.nbytes)
+        return {"blob": jax.device_put(blob_np),
+                "walk_meta": (q_k, d_k, n_q_trees)}
     dev = {
         "q_words": jax.device_put(p.q_words),
         "q_sub": jax.device_put(p.q_sub),
@@ -723,21 +812,9 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
         dev["pair_vec"] = jax.device_put(pair_vec)
         dev["half_vec"] = jax.device_put(half_vec)
     else:
-        dev["q_luts"] = jax.device_put(
-            p.q_tables.luts(cfg.max_code_len).astype(np.int16))
+        dev["q_luts"] = jax.device_put(_lut_i16(p.q_tables.luts(cfg.max_code_len)))
     if p.d_plan.mode != dna.MODE_PLAIN:
-        dev["d_luts"] = jax.device_put(
-            p.d_plan.luts(cfg.max_code_len).astype(np.int16))
-    # dense per-lane word planes for the pallas walk (host layout; replaces
-    # the linear uploads on the walked streams)
-    if p.use_qwalk:
-        dev["q_dense"] = jax.device_put(
-            bitpack.dense_words_np(p.q_words, p.q_sub))
-        dev.pop("q_words", None)
-    if p.use_dwalk:
-        dev["d_dense"] = jax.device_put(
-            bitpack.dense_words_np(p.d_words, p.d_sub))
-        dev.pop("d_words", None)
+        dev["d_luts"] = jax.device_put(_lut_i16(p.d_plan.luts(cfg.max_code_len)))
     if p.out_alpha is not None:
         idx_tab = np.zeros(256, np.int32)
         idx_tab[p.out_alpha] = np.arange(p.out_alpha.shape[0], dtype=np.int32)
@@ -755,23 +832,32 @@ def _out_width(n_alpha: int) -> int:
     return 4 if n_alpha <= 16 else 5
 
 
+def _decode_tail(qual_t, lens, dna_syms, out_tab, *, is_delta, out_w, q6):
+    """Shared decode-graph tail: ambiguity restore → delta untranslate →
+    packed (or raw) output blob."""
+    seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens)
+    if is_delta:
+        seq_j = dna.delta_untranslate(seq_j, lens)
+    if out_w and not is_delta:
+        return _pack_out(seq_j, qual_j, out_tab, out_w, q6)
+    return _fuse_seq_qual(seq_j, qual_j)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "use_pairs", "use_qwalk", "use_dwalk", "d_plain", "is_delta", "out_w",
-    "q6", "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len",
-    "interpret"))
+    "use_pairs", "d_plain", "is_delta", "out_w",
+    "q6", "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len"))
 def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
                          luts2, pair_vec, half_vec, q_luts, d_luts, out_tab,
-                         q_dense, d_dense,
-                         *, use_pairs, use_qwalk, use_dwalk, d_plain,
-                         is_delta, out_w, q6,
-                         L, Lt, G, pair_bits, lut_bits, uniform_len,
-                         interpret=False):
-    """Whole per-sub-block decode graph as ONE executable: quality walk →
-    keep mask → DNA decode → ambiguity restore → delta untranslate → packed
-    output. One launch per sub-block (the relay/PCIe path pays per-call
-    latency; on-chip it also removes inter-executable HBM round trips —
-    mirrors _analyze_all/_encode_all on the encode side). Unused inputs are
-    passed as None (empty pytree) so one signature covers every mode.
+                         *, use_pairs, d_plain, is_delta, out_w, q6,
+                         L, Lt, G, pair_bits, lut_bits, uniform_len):
+    """Whole per-sub-block decode graph as ONE executable (non-walk paths:
+    pair-LUT gathers and the XLA substream walk — the TPU pallas-walk path
+    is _decode_walk_fused): quality decode → keep mask → DNA decode →
+    ambiguity restore → delta untranslate → packed output. One launch per
+    sub-block (the relay/PCIe path pays per-call latency; on-chip it also
+    removes inter-executable HBM round trips — mirrors
+    _analyze_all/_encode_all on the encode side). Unused inputs are passed
+    as None (empty pytree) so one signature covers every mode.
 
     Decode LUT planes arrive int16 ((len << 9) | sym <= max_code_len*512 +
     511 < 2^15) to halve their upload bytes and are widened here — the walk
@@ -780,11 +866,7 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
         q_luts = q_luts.astype(jnp.int32)
     if d_luts is not None:
         d_luts = d_luts.astype(jnp.int32)
-    if use_qwalk:
-        # pallas LUT walk: no gathers at all (the fastest path)
-        qual_t = quality.decode_device_walk(
-            q_dense, lens, q_luts, L, Lt, G, lut_bits, interpret=interpret)
-    elif use_pairs:
+    if use_pairs:
         # uniform-length fast path: two symbols per LUT gather (the walk is
         # gather-bound, so this is ~2x); tables deduped/cached in pair_plan
         qual_t = quality.decode_device_pairs(
@@ -799,54 +881,131 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
     # positions)
     keep = _keep_from_quality(qual_t, lens)
     if d_plain:
-        if use_dwalk:
-            dna_syms = dna.decode_plain_walk(d_dense, keep, L, G,
-                                             interpret=interpret)
-        else:
-            dna_syms = dna.decode_plain(d_words, d_sub, keep, L, G)
-    elif use_dwalk:
-        dna_syms = dna.decode_huffman_walk(d_dense, keep, d_luts, L, G,
-                                           lut_bits, interpret=interpret)
+        dna_syms = dna.decode_plain(d_words, d_sub, keep, L, G)
     else:
         dna_syms = dna.decode_huffman(d_words, d_sub, keep, d_luts,
                                       L, G, lut_bits)
-    seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens)
-    if is_delta:
-        seq_j = dna.delta_untranslate(seq_j, lens)
+    return _decode_tail(qual_t, lens, dna_syms, out_tab,
+                        is_delta=is_delta, out_w=out_w, q6=q6)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "n_q", "n_d", "Rp", "L", "Lt", "G", "variable",
+    "q_k", "d_k", "n_q_trees", "lut_bits", "q_wmax", "d_wmax", "sp",
+    "d_plain", "is_delta", "out_w", "q6", "interpret"))
+def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
+                       q_k, d_k, n_q_trees, lut_bits, q_wmax, d_wmax, sp,
+                       d_plain, is_delta, out_w, q6, interpret=False):
+    """Whole per-sub-block pallas-walk decode graph over ONE fused H2D blob
+    (_walk_blob_np's exact layout; every slice size is a bucketed static so
+    sub-blocks share this executable). The blob carries the LINEAR packed
+    words — dense_words_device densifies them on device, so the upload is
+    ~the compressed payload instead of the padded (Wmax, Sp) plane (VERDICT
+    r2 next #1) — plus run-compressed LUTs (expand_lut_runs) and, only when
+    actually variable, packed per-record lengths. Reference decode side this
+    replaces: tasks.cpp:957-1101."""
+    V = 1 << lut_bits
+    off = 1
+    q_sub = blob[off : off + S].astype(jnp.int32); off += S
+    d_sub = blob[off : off + S].astype(jnp.int32); off += S
+    q_words = blob[off : off + n_q]; off += n_q
+    d_words = blob[off : off + n_d]; off += n_d
+    if variable:
+        n_lw = (Rp + 1) // 2
+        lw = blob[off : off + n_lw]; off += n_lw
+        hi = (lw >> jnp.uint32(16)).astype(jnp.int32)
+        lo = (lw & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        lens = jnp.stack([hi, lo], axis=1).reshape(-1)[:Rp]
+    else:
+        R = blob[0].astype(jnp.int32)
+        lens = jnp.where(jnp.arange(Rp, dtype=jnp.int32) < R, Lt, 0)
+    if q_k > 0:
+        q_luts = bitpack.expand_lut_runs(
+            blob[off : off + n_q_trees * q_k].reshape(n_q_trees, q_k), V)
+        off += n_q_trees * q_k
+    else:
+        q_luts = _unpack_i16_words(
+            blob[off : off + n_q_trees * V // 2], n_q_trees, V)
+        off += n_q_trees * V // 2
+    d_luts = None
+    if d_k > 0:
+        d_luts = bitpack.expand_lut_runs(
+            blob[off : off + d_k].reshape(1, d_k), V)
+        off += d_k
+    elif d_k == 0:
+        d_luts = _unpack_i16_words(blob[off : off + V // 2], 1, V)
+        off += V // 2
+
+    q_dense = bitpack.dense_words_device(q_words, q_sub, q_wmax, sp)
+    d_dense = bitpack.dense_words_device(d_words, d_sub, d_wmax, sp)
+    if variable:
+        qual_t = quality.decode_device_walk_masked(
+            q_dense, lens, q_luts, L, G, lut_bits, interpret=interpret)
+    else:
+        qual_t = quality.decode_device_walk(
+            q_dense, lens, q_luts, L, Lt, G, lut_bits, interpret=interpret)
+    keep = _keep_from_quality(qual_t, lens)
+    if d_plain:
+        dna_syms = dna.decode_plain_walk(d_dense, keep, L, G,
+                                         interpret=interpret)
+    else:
+        dna_syms = dna.decode_huffman_walk(d_dense, keep, d_luts, L, G,
+                                           lut_bits, interpret=interpret)
+    out_tab = None
     if out_w and not is_delta:
-        return _pack_out(seq_j, qual_j, out_tab, out_w, q6)
-    return _fuse_seq_qual(seq_j, qual_j)
+        # 32-slot restored alphabet → 256-entry index table; sentinel words
+        # (0xFFFFFFFF → -1 as int32) drop out of the scatter
+        alpha = blob[off : off + 32].astype(jnp.int32)
+        out_tab = jnp.zeros(256, jnp.int32).at[alpha].set(
+            jnp.arange(32, dtype=jnp.int32), mode="drop")
+    return _decode_tail(qual_t, lens, dna_syms, out_tab,
+                        is_delta=is_delta, out_w=out_w, q6=q6)
 
 
 def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
     """Dispatch the fused decode executable; returns the blob pending one
     fetch."""
-    use_pairs = p.pplan is not None
     pack = p.out_alpha is not None and not p.is_delta
+    out_w = _out_width(p.out_alpha.shape[0]) if pack else 0
+    if p.use_walk:
+        q_k, d_k, n_q_trees = dev["walk_meta"]
+        return _decode_walk_fused(
+            dev["blob"],
+            S=p.q_sub.shape[0], n_q=p.q_words.shape[0],
+            n_d=p.d_words.shape[0], Rp=p.Rp, L=p.L,
+            # Lt only keys the uniform walk's step count; pin it when the
+            # masked (variable) walk is taken so raw read lengths don't key
+            # extra executables
+            Lt=0 if p.variable else p.Lt,
+            G=p.G, variable=p.variable,
+            q_k=q_k, d_k=d_k, n_q_trees=n_q_trees,
+            lut_bits=cfg.max_code_len,
+            q_wmax=p.q_wmax, d_wmax=p.d_wmax, sp=p.sp,
+            d_plain=p.d_plan.mode == dna.MODE_PLAIN,
+            is_delta=bool(p.is_delta), out_w=out_w, q6=bool(p.q6),
+            interpret=jax.default_backend() != "tpu",
+        )
+    use_pairs = p.pplan is not None
     return _decode_device_fused(
         dev.get("q_words"), dev["q_sub"], dev["lens"],
         dev.get("d_words"), dev["d_sub"],
         p.pplan[0] if use_pairs else None,
         dev.get("pair_vec"), dev.get("half_vec"),
         dev.get("q_luts"), dev.get("d_luts"), dev.get("out_tab"),
-        dev.get("q_dense"), dev.get("d_dense"),
         use_pairs=use_pairs,
-        use_qwalk=p.use_qwalk, use_dwalk=p.use_dwalk,
-        interpret=jax.default_backend() != "tpu",
         d_plain=p.d_plan.mode == dna.MODE_PLAIN,
         is_delta=bool(p.is_delta),
-        out_w=_out_width(p.out_alpha.shape[0]) if pack else 0,
+        out_w=out_w,
         q6=bool(p.q6),
         # statics unused by the taken branch are pinned to 0 so they don't
-        # key extra executables (e.g. per-raw-read-length Lt when neither
-        # the pair nor the walk path is on — the cold-start budget counts
-        # executables)
-        L=p.L, Lt=p.Lt if (use_pairs or p.use_qwalk) else 0, G=p.G,
+        # key extra executables (e.g. per-raw-read-length Lt when the pair
+        # path is off — the cold-start budget counts executables)
+        L=p.L, Lt=p.Lt if use_pairs else 0, G=p.G,
         pair_bits=p.pplan[3] if use_pairs else 0,
         lut_bits=cfg.max_code_len,
         # only when Lt fills the bucket exactly — otherwise the static
         # arg would key one executable per raw read length
-        uniform_len=(0 if (use_pairs or p.use_qwalk)
+        uniform_len=(0 if use_pairs
                      else p.Lt if (not p.variable and p.Lt == p.L) else 0),
     )
 

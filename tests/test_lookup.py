@@ -180,6 +180,82 @@ def test_pallas_walk_huffman_dna_roundtrip(monkeypatch):
     assert decompress_bytes(blob, cfg) == data
 
 
+def test_pallas_walk_variable_length_roundtrip(monkeypatch):
+    """Variable-length records under the forced walk: the masked quality
+    walk (decode_device_walk_masked) + packed lens in the fused blob."""
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+
+    rng = np.random.default_rng(17)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    recs = []
+    for i in range(500):
+        n = int(rng.integers(20, 48))
+        seq = acgt[rng.integers(0, 4, size=n)]
+        qual = (rng.integers(33, 73, size=n)).astype(np.uint8)
+        recs.append(b"@v%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + qual.tobytes() + b"\n")
+    data = b"".join(recs)
+    cfg = CodecConfig(records_per_substream=4)
+    blob = compress_bytes(data, cfg)
+    assert decompress_bytes(blob, cfg) == data
+
+
+def test_pallas_walk_delta_roundtrip(monkeypatch):
+    """SOLiD color-space reads under the forced walk (is_delta path: raw
+    planes fetch, no packed-alphabet output)."""
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+
+    rng = np.random.default_rng(23)
+    digits = np.frombuffer(b"0123", np.uint8)
+    recs = []
+    for i in range(400):
+        colors = digits[rng.integers(0, 4, size=35)]
+        seq = b"T" + colors.tobytes()
+        qual = (rng.integers(33, 70, size=36)).astype(np.uint8)
+        recs.append(b"@s%d\n" % i + seq + b"\n+\n" + qual.tobytes() + b"\n")
+    data = b"".join(recs)
+    cfg = CodecConfig(records_per_substream=4)
+    blob = compress_bytes(data, cfg)
+    assert decompress_bytes(blob, cfg) == data
+
+
+def test_dense_words_device_matches_np():
+    rng = np.random.default_rng(31)
+    for S in (1, 5, 130):
+        sub = rng.integers(0, 40, size=S).astype(np.int32)
+        total = int(sub.sum())
+        words = rng.integers(1, 1 << 32, size=total, dtype=np.uint64
+                             ).astype(np.uint32)
+        ref = bitpack.dense_words_np(words, sub)
+        Wmax, Sp = ref.shape
+        # device path takes the bucket-padded linear upload
+        up = np.zeros(total + 64, np.uint32)
+        up[:total] = words
+        got = np.asarray(bitpack.dense_words_device(
+            jnp.asarray(up), jnp.asarray(sub), Wmax, Sp))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_lut_runs_roundtrip():
+    rng = np.random.default_rng(37)
+    lens = huffman.build_code_lengths_batch(
+        rng.integers(1, 500, size=(7, 60)), 12)
+    sym, ln = huffman.decode_lut_batch(lens, 12, np.full(7, -1, np.int64))
+    luts = ((ln.astype(np.int32) << 9) | sym.astype(np.int32))
+    runs = bitpack.lut_runs_np(luts)
+    assert runs is not None and runs.shape[1] <= 256
+    got = np.asarray(bitpack.expand_lut_runs(jnp.asarray(runs), 1 << 12))
+    np.testing.assert_array_equal(got, luts)
+    # over-budget tables fall back (None) instead of truncating
+    assert bitpack.lut_runs_np(luts, max_runs=4) is None
+
+
 @pytest.mark.parametrize("R,L,A", [(100, 7, 256), (1030, 36, 256),
                                    (64, 5, 128)])
 def test_pallas_position_histogram(R, L, A):

@@ -91,61 +91,54 @@ def main():
     print(f"decode fused: {t_full:7.2f} ms/sub-block (R={p.R})"
           f"  => {p.R * rec_bytes / t_full / 1e3:6.1f} MB/s", flush=True)
 
-    # attribution: quality walk alone
+    # attribution: quality walk alone (walk path works from the fused blob —
+    # rebuild its device inputs here from the parse result, int32 LUTs as the
+    # kernels consume)
     from phyngsc_tpu.models import quality as qmod
-    if getattr(p, "use_qwalk", False):
-        t_q = slope_ms(
-            lambda: qmod.decode_device_walk(
-                dev["q_dense"], dev["lens"], dev["q_luts"],
-                p.L, p.Lt, p.G, cfg.max_code_len),
-            sync1)
-        print(f"quality pallas walk alone: {t_q:7.2f} ms "
-              f"(dense {dev['q_dense'].shape})", flush=True)
+    from phyngsc_tpu.ops import bitpack as bpmod
+    if p.use_walk:
         from phyngsc_tpu.models import dna as dmod
-        if getattr(p, "use_dwalk", False):
-            import jax.numpy as jnp2
-            keep = jnp2.ones((p.Rp, p.L), bool)
-            if p.d_plan.mode == dmod.MODE_PLAIN:
-                t_d = slope_ms(
-                    lambda: dmod.decode_plain_walk(dev["d_dense"], keep,
-                                                   p.L, p.G), sync1)
-                print(f"dna plain2 walk alone: {t_d:7.2f} ms", flush=True)
-            else:
-                t_d = slope_ms(
-                    lambda: dmod.decode_huffman_walk(
-                        dev["d_dense"], keep, dev["d_luts"], p.L, p.G,
-                        cfg.max_code_len),
-                    sync1)
-                print(f"dna pallas walk alone: {t_d:7.2f} ms", flush=True)
-        else:
-            import jax.numpy as jnp2
-            qual_t = qmod.decode_device_walk(
-                dev["q_dense"], dev["lens"], dev["q_luts"],
-                p.L, p.Lt, p.G, cfg.max_code_len)
-            keep = sbmod._keep_from_quality(qual_t, dev["lens"])
-            jax.block_until_ready(keep)
-            t_d = slope_ms(
-                lambda: dmod.decode_plain(dev["d_words"], dev["d_sub"],
-                                          keep, p.L, p.G),
+        q_luts = jax.device_put(
+            p.q_tables.luts(cfg.max_code_len).astype(np.int32))
+        q_dense = bpmod.dense_words_device(
+            jax.device_put(p.q_words), jax.device_put(p.q_sub),
+            p.q_wmax, p.sp)
+        lens = jax.device_put(p.lens_pad)
+        t_dense = slope_ms(
+            lambda: bpmod.dense_words_device(
+                jax.device_put(p.q_words), jax.device_put(p.q_sub),
+                p.q_wmax, p.sp), sync1)
+        print(f"device densify alone: {t_dense:7.2f} ms "
+              f"(plane {p.q_wmax}x{p.sp})", flush=True)
+        if p.variable:
+            t_q = slope_ms(
+                lambda: qmod.decode_device_walk_masked(
+                    q_dense, lens, q_luts, p.L, p.G, cfg.max_code_len),
                 sync1)
-            print(f"dna plain decode alone: {t_d:7.2f} ms", flush=True)
-            if p.out_alpha is not None:
-                seq_j, qual_j = dmod.restore_ambiguity(
-                    dmod.decode_plain(dev["d_words"], dev["d_sub"], keep,
-                                      p.L, p.G), qual_t, dev["lens"])
-                t_r = slope_ms(
-                    lambda: dmod.restore_ambiguity(
-                        dmod.decode_plain(dev["d_words"], dev["d_sub"],
-                                          keep, p.L, p.G),
-                        qual_t, dev["lens"])[0],
-                    sync1)
-                print(f"dna plain + restore: {t_r:7.2f} ms", flush=True)
-                t_p = slope_ms(
-                    lambda: sbmod._pack_out(
-                        seq_j, qual_j, dev["out_tab"],
-                        sbmod._out_width(p.out_alpha.shape[0]), p.q6),
-                    sync1)
-                print(f"pack_out alone: {t_p:7.2f} ms", flush=True)
+            print(f"quality masked walk alone: {t_q:7.2f} ms", flush=True)
+        else:
+            t_q = slope_ms(
+                lambda: qmod.decode_device_walk(
+                    q_dense, lens, q_luts, p.L, p.Lt, p.G, cfg.max_code_len),
+                sync1)
+            print(f"quality pallas walk alone: {t_q:7.2f} ms", flush=True)
+        d_dense = bpmod.dense_words_device(
+            jax.device_put(p.d_words), jax.device_put(p.d_sub),
+            p.d_wmax, p.sp)
+        keep = jnp.ones((p.Rp, p.L), bool)
+        if p.d_plan.mode == dmod.MODE_PLAIN:
+            t_d = slope_ms(
+                lambda: dmod.decode_plain_walk(d_dense, keep, p.L, p.G),
+                sync1)
+            print(f"dna plain2 walk alone: {t_d:7.2f} ms", flush=True)
+        else:
+            d_luts = jax.device_put(
+                p.d_plan.luts(cfg.max_code_len).astype(np.int32))
+            t_d = slope_ms(
+                lambda: dmod.decode_huffman_walk(
+                    d_dense, keep, d_luts, p.L, p.G, cfg.max_code_len),
+                sync1)
+            print(f"dna pallas walk alone: {t_d:7.2f} ms", flush=True)
     elif p.pplan is not None:
         luts2, _, _, pair_bits = p.pplan
         t_q = slope_ms(
@@ -156,9 +149,10 @@ def main():
         print(f"quality pair walk alone: {t_q:7.2f} ms (pair bits "
               f"{pair_bits})", flush=True)
     else:
+        q_luts32 = dev["q_luts"].astype(jnp.int32)  # uploads are int16
         t_q = slope_ms(
             lambda: qmod.decode_device(
-                dev["q_words"], dev["q_sub"], dev["lens"], dev["q_luts"],
+                dev["q_words"], dev["q_sub"], dev["lens"], q_luts32,
                 p.L, p.G, cfg.max_code_len, uniform_len=p.Lt),
             sync1)
         print(f"quality single walk alone: {t_q:7.2f} ms (pair path OFF)",
