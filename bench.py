@@ -10,8 +10,9 @@ shim in native/mpi_shim (single rank — the reference's own README numbers,
 and lower). If a measured value exists in BASELINE_MEASURED.json it is used;
 otherwise the documented derivation in BASELINE.md (3.1 MB/s) is the floor.
 
-Env knobs: BENCH_MB (input size, default 32), BENCH_VERIFY=0 to skip the
-round-trip check, BENCH_WRITERS (default 1).
+Env knobs: BENCH_MB (input size, default 100 — the scale BASELINE_MEASURED
+was taken at), BENCH_VERIFY=0 to skip the round-trip check, BENCH_WRITERS
+(default 2 — exercises the multi-writer container path).
 """
 
 from __future__ import annotations
@@ -32,13 +33,36 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    # executable census (VERDICT r2 weak #2): one trace event per distinct
+    # (jaxpr, shapes) executable per process; backend compiles that missed
+    # the persistent cache are counted separately
+    import logging
+
+    class _CompileCensus(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.DEBUG)
+            self.traced = 0
+            self.compiled = 0
+
+        def emit(self, record):
+            msg = record.getMessage()
+            if "Finished tracing + transforming" in msg:
+                self.traced += 1
+            elif "Finished XLA compilation" in msg:
+                self.compiled += 1
+
+    census = _CompileCensus()
+    jax.config.update("jax_log_compiles", True)  # events log at WARNING
+    logging.getLogger("jax").addHandler(census)
+    logging.getLogger("jax").propagate = False  # keep them off stderr
+
     from phyngsc_tpu.config import CodecConfig
     from phyngsc_tpu.pipeline.compress import compress_bytes
     from phyngsc_tpu.pipeline.decompress import decompress_bytes
     from phyngsc_tpu.utils.fastq import synthesize_fastq
 
-    mb = float(os.environ.get("BENCH_MB", "32"))
-    n_writers = int(os.environ.get("BENCH_WRITERS", "1"))
+    mb = float(os.environ.get("BENCH_MB", "100"))
+    n_writers = int(os.environ.get("BENCH_WRITERS", "2"))
     verify = os.environ.get("BENCH_VERIFY", "1") != "0"
     style = os.environ.get("BENCH_STYLE", "ERR005195")  # or "SRR" (76 bp)
     read_len = 76 if style == "SRR" else 36
@@ -305,6 +329,8 @@ def main() -> int:
                                         if dev_mbps else None),
             "device_only_decode_mbps": (round(dev_dec_mbps, 1)
                                         if dev_dec_mbps else None),
+            "executable_census": {"traced": census.traced,
+                                  "xla_compiles": census.compiled},
             "note": "dev harness routes all H2D/D2H through a ~50 MB/s "
                     "loopback relay; device_only_mbps is the compute ceiling "
                     "on PCIe-attached hosts",

@@ -421,10 +421,13 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
             else:
                 d_cap = _exact_cap(d_counts, st.d_plan.lens_tab, S, worst)
             if a.buckets is not None:
-                # share one _encode_all executable across tails: caps promote
-                # to an in-use bucket (bounded extra fetch beats a recompile)
-                q_cap = a.buckets.pick_words("enc_q", q_cap, worst)
-                d_cap = a.buckets.pick_words("enc_d", d_cap, worst)
+                # share one _encode_all executable across SAME-Rp sub-blocks:
+                # caps promote to an in-use bucket (bounded extra fetch beats
+                # a recompile); keyed by Rp — other record buckets compile
+                # their own executables, so cross-bucket promotion only
+                # inflates the fetch
+                q_cap = a.buckets.pick_words(f"enc_q:{a.Rp}", q_cap, worst)
+                d_cap = a.buckets.pick_words(f"enc_d:{a.Rp}", d_cap, worst)
         st.blob = _encode_all(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
             jax.device_put(st.q_tables.codes), jax.device_put(st.q_tables.lens),
@@ -645,9 +648,13 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
         bucket = 1 << 14
         n = max((words.shape[0] + 8 + bucket - 1) // bucket * bucket, bucket)
         if buckets is not None:
-            # share decode executables across tails: upload pad promotes to
-            # an in-use size (bounded zero-padding beats a recompile)
-            n = buckets.pick_words(kind, n)
+            # share decode executables across SAME-Rp sub-blocks: upload pad
+            # promotes to an in-use size (bounded zero-padding beats a
+            # recompile). Keyed by Rp — a different record bucket compiles
+            # its own executables anyway, so promoting a small tail to the
+            # main bucket's word size would be pure wire waste (measured 2x
+            # decode H2D on a 2-writer run before the keying)
+            n = buckets.pick_words(f"{kind}:{p.Rp}", n)
         out = np.zeros(n, np.uint32)
         out[: words.shape[0]] = words
         return out
@@ -683,8 +690,8 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
         p.q_wmax, p.sp = bitpack.dense_geometry(p.q_sub)
         p.d_wmax, _ = bitpack.dense_geometry(p.d_sub)
         if buckets is not None:
-            p.q_wmax = buckets.pick_words("wmax_q", p.q_wmax)
-            p.d_wmax = buckets.pick_words("wmax_d", p.d_wmax)
+            p.q_wmax = buckets.pick_words(f"wmax_q:{p.Rp}", p.q_wmax)
+            p.d_wmax = buckets.pick_words(f"wmax_d:{p.Rp}", p.d_wmax)
 
     # restored-output alphabet for the packed D2H fetch: provably complete —
     # kept positions hold DNA-plan symbols (plain mode only fires on pure

@@ -18,8 +18,11 @@ from phyngsc_tpu.pipeline.decompress import decompress_bytes
 
 CFG = CodecConfig(subblock_input_bytes=16 << 10, records_per_substream=8)
 
-#: every acceptable "clean rejection" for corrupt input
-CORRUPT_ERRORS = (ValueError, EOFError, IndexError, KeyError, OverflowError)
+#: every acceptable "clean rejection" for corrupt input: DESIGNED rejections
+#: only (container framing/range ValueErrors, BitReader EOFError) — crashes
+#: escaping from numpy internals (IndexError/KeyError/OverflowError) are
+#: bugs, not rejections (VERDICT r2 weak #4)
+CORRUPT_ERRORS = (ValueError, EOFError)
 
 
 def _random_fastq(rng: np.random.Generator, n: int, *, iupac=0.0,

@@ -269,3 +269,53 @@ def test_numeric_huffman_mixed_with_char_fields():
     enc = roundtrip(strings)
     modes = [p.mode for p in enc.plan.fields if p.kind == title.KIND_NUMERIC]
     assert title.NUM_HUF in modes
+
+
+def test_table_cost_bits_exact():
+    # _table_cost_bits must equal store_table's ACTUAL emission bit-for-bit
+    # (the planner's mode choice is only exact if the table term is) —
+    # VERDICT r2 weak #6
+    from phyngsc_tpu.ops import huffman
+
+    rng = np.random.default_rng(8)
+    for A in (5, 8, 9, 60, 256, 509, 512):
+        counts = rng.integers(0, 50, size=A)
+        counts[rng.integers(0, A)] += 1000  # at least one present
+        if np.count_nonzero(counts) == 1:
+            counts[(np.flatnonzero(counts)[0] + 1) % A] = 1
+        lens = huffman.build_code_lengths(counts, 12)
+        sing = huffman.singleton_of(counts)
+        bw = BitWriter()
+        huffman.store_table(bw, lens, sing)
+        assert bw.bit_position == title._table_cost_bits(lens, sing), A
+    # singleton form
+    bw = BitWriter()
+    huffman.store_table(bw, np.zeros(256, np.uint8), 40)
+    assert bw.bit_position == title._table_cost_bits(
+        np.zeros(256, np.uint8), 40)
+
+
+def test_exact_costing_borderline_delta_vs_value():
+    # Borderline crafted so the OLD costing (which omitted NUM_VALUE's own
+    # 64-bit base word) picked VALUE while exact emitted bits favor DELTA:
+    # R*w - (R-1)*wd must land in (64, 128). R=100, w=8, wd=7 → 107.
+    # A reflected random walk keeps deltas incompressible (so NUM_HUF
+    # can't win) with a 7-bit delta range and an 8-bit value span.
+    rng = np.random.default_rng(9)
+    R = 100
+    vals = [100]
+    for i in range(R - 1):
+        d = -63 if i == 0 else 63 if i == 1 else int(rng.integers(-63, 64))
+        v = vals[-1] + d
+        if not 0 <= v <= 230:
+            v = vals[-1] - d
+        vals.append(v)
+    vals = np.array(vals, np.int64)
+    d = np.diff(vals)
+    assert int(d.max() - d.min()) == 126       # wd = 7 bits
+    assert 128 <= int(vals.max() - vals.min()) <= 255  # w = 8 bits
+    plan = title._numeric_plan_from_values(vals)
+    assert plan.mode == title.NUM_DELTA
+    # and it round-trips
+    strings = [b"@X:%d" % v for v in vals]
+    roundtrip(strings)
