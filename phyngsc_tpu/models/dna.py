@@ -390,11 +390,17 @@ def write_header(bw: BitWriter, plan_: DnaPlan, sub_n_words: np.ndarray,
 
 def read_header(br: BitReader):
     mode = br.get_bits(2)
+    if mode > MODE_HUFFMAN:
+        raise ValueError(f"corrupt DNA stream mode {mode}")
     is_delta = bool(br.get_bit())
     total_words = br.get_uint(4)
     n_sub = br.get_bits(24)
     w = br.get_bits(6)
+    if w > 31:
+        raise ValueError(f"corrupt substream-table width {w}")
     sub_n_words = get_uint_array(br, n_sub, w).astype(np.int32)
+    if int(sub_n_words.sum()) > total_words:
+        raise ValueError("corrupt DNA substream table (sum > total)")
     if mode == MODE_HUFFMAN:
         lens_tab, singleton = huffman.load_table(br, ALPHABET)
         codes_tab = np.asarray(huffman.canonical_codes(lens_tab))

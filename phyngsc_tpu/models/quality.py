@@ -467,7 +467,14 @@ def read_header(br: BitReader):
     total_words = br.get_uint(4)
     n_sub = br.get_bits(24)
     w = br.get_bits(6)
+    if w > 31:
+        raise ValueError(f"corrupt substream-table width {w}")
     sub_n_words = get_uint_array(br, n_sub, w).astype(np.int32)
+    if int(sub_n_words.sum()) > total_words:
+        # writer invariant: per-substream words sum to total_words (minus
+        # alignment slack); a corrupted entry would otherwise size giant
+        # device buffers
+        raise ValueError("corrupt quality substream table (sum > total)")
     if n_trees:
         pairs = [huffman.load_table(br, ALPHABET) for _ in range(n_trees)]
         lens = np.stack([p[0] for p in pairs])

@@ -188,6 +188,11 @@ class CharPlan:
     len_width: int             # bits for per-record length (0 if const)
     tables_lens: np.ndarray    # (n_trees, 256) uint8
     tables_singletons: np.ndarray  # (n_trees,) int32
+    #: per-32-record block constancy (reference block-constancy bits,
+    #: tasks.cpp:393-509 / BlockDesc tasks.cpp:63-81): block b constant →
+    #: only its FIRST record's chars ride the walk; the rest replicate on
+    #: decode. None = plain per-record mode. Chosen by exact emitted bits.
+    blk_const: Optional[np.ndarray] = None   # (nB,) bool
 
     @property
     def n_positions(self) -> int:  # tracked positions (before overflow tree)
@@ -200,6 +205,16 @@ class CharPlan:
 
     def tree_of_pos(self, p: np.ndarray) -> np.ndarray:
         return np.minimum(p, self.tables_lens.shape[0] - 1)
+
+    def rep_mask(self, R: int) -> Optional[np.ndarray]:
+        """(R,) bool — True where the record's chars are actually emitted
+        (first of a constant block, or any record of a varying block)."""
+        if self.blk_const is None:
+            return None
+        B = BLOCK_RECORDS
+        idx = np.arange(R)
+        in_const = self.blk_const[idx // B]
+        return ~in_const | (idx % B == 0)
 
 
 def plan_numeric(content: np.ndarray, flens: np.ndarray,
@@ -386,20 +401,63 @@ def plan_char(content: np.ndarray, flens: np.ndarray, cfg: CodecConfig) -> CharP
     P = min(W, cfg.max_stat_positions)
     mask = np.arange(W)[None, :] < flens[:, None]
     n_trees = P + (1 if W > P else 0)
-    counts = np.zeros((n_trees, ALPHABET), np.int64)
-    if R and P:
-        m = mask[:, :P]
-        flat = np.arange(P)[None, :] * ALPHABET + content[:, :P].astype(np.int64)
-        counts[:P] += np.bincount(flat[m], minlength=P * ALPHABET).reshape(P, ALPHABET)
-    if W > P and R:
-        m = mask[:, P:]
-        counts[-1] = np.bincount(content[:, P:][m], minlength=ALPHABET)[:ALPHABET]
+
+    def _stats(rowsel) -> np.ndarray:
+        counts = np.zeros((n_trees, ALPHABET), np.int64)
+        m = mask if rowsel is None else (mask & rowsel[:, None])
+        if R and P:
+            mm = m[:, :P]
+            flat = (np.arange(P)[None, :] * ALPHABET
+                    + content[:, :P].astype(np.int64))
+            counts[:P] += np.bincount(
+                flat[mm], minlength=P * ALPHABET).reshape(P, ALPHABET)
+        if W > P and R:
+            counts[-1] = np.bincount(
+                content[:, P:][m[:, P:]], minlength=ALPHABET)[:ALPHABET]
+        return counts
+
+    def _emit_bits(counts, lens_tab, singles) -> int:
+        """Exact emitted bits: payload (hist × code lens) + table storage."""
+        bits = int(np.sum(counts * lens_tab.astype(np.int64)))
+        for t in range(n_trees):
+            bits += _table_cost_bits(lens_tab[t], int(singles[t]))
+        return bits
+
+    counts = _stats(None)
     lens_tab = huffman.build_code_lengths_batch(counts, cfg.max_code_len)
     singles = huffman.singleton_of_batch(counts)
     if np.all(flens == flens[0]) if R else True:
         cl, lw = int(flens[0]) if R else 0, 0
     else:
         cl, lw = -1, bit_length(int(flens.max()))
+
+    # per-32-record block constancy (tasks.cpp:393-509 equivalent): when a
+    # block's records all hold the same bytes, only the first record's chars
+    # ride the walk. Chosen by exact emitted bits vs plain per-record mode
+    # (block mode pays nB flag bits + a 16-bit header escape and builds its
+    # trees from the deduplicated histogram).
+    B = BLOCK_RECORDS
+    if R >= 2 and W:
+        first_idx = (np.arange(R) // B) * B
+        row_eq = (np.all(content == content[first_idx], axis=1)
+                  & (flens == flens[first_idx]))
+        nB = (R + B - 1) // B
+        blk_const = np.minimum.reduceat(
+            row_eq.astype(np.uint8), np.arange(0, R, B)).astype(bool)
+        # only blocks with >= 2 records can save anything
+        if R % B == 1:
+            blk_const[-1] = False
+        if blk_const.any():
+            idx = np.arange(R)
+            rep = ~blk_const[idx // B] | (idx % B == 0)
+            counts_b = _stats(rep)
+            lens_b = huffman.build_code_lengths_batch(
+                counts_b, cfg.max_code_len)
+            singles_b = huffman.singleton_of_batch(counts_b)
+            if (_emit_bits(counts_b, lens_b, singles_b) + nB + 16
+                    < _emit_bits(counts, lens_tab, singles)):
+                return CharPlan(KIND_CHAR, W, cl, lw, lens_b, singles_b,
+                                blk_const=blk_const)
     return CharPlan(KIND_CHAR, W, cl, lw, lens_tab, singles)
 
 
@@ -625,6 +683,10 @@ def _char_symbols(plan: TitlePlan, ctx: TitleContext, R: int):
         base = plan.char_tree_base(f)
         tree = base + p.tree_of_pos(np.arange(W))
         v = np.arange(W)[None, :] < flens[:, None]
+        rep = p.rep_mask(R)
+        if rep is not None:
+            # block mode: constant blocks emit only their first record
+            v = v & rep[:, None]
         c32 = content.astype(np.int64)
         code_cols.append(np.where(v, codes_tab[tree[None, :], c32], 0).astype(np.uint32))
         len_cols.append(np.where(v, lens_tab[tree[None, :], c32], 0).astype(np.int32))
@@ -804,7 +866,9 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
             p = plan.fields[f]
             tb[j] = plan.char_tree_base(f)
             if p.kind == KIND_CHAR:
-                steps[:, j] = field_lens[:R, f]
+                rep = p.rep_mask(R)
+                steps[:, j] = (field_lens[:R, f] if rep is None
+                               else field_lens[:R, f] * rep)
                 kinds_w[j] = 0
                 ntr[j] = p.tables_lens.shape[0]
                 ow[j] = int(field_lens[:R, f].max())
@@ -820,7 +884,14 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
             for j, f in enumerate(walk_fields):
                 p = plan.fields[f]
                 if p.kind == KIND_CHAR:
-                    contents[f] = blocks[j]
+                    c = blocks[j]
+                    rep = p.rep_mask(R)
+                    if rep is not None:
+                        # replicate each constant block's first record
+                        c = c[np.where(rep, np.arange(R),
+                                       (np.arange(R) // BLOCK_RECORDS)
+                                       * BLOCK_RECORDS)]
+                    contents[f] = c
                 else:
                     sym = blocks[j][:, 0].astype(np.int64)
                     if p.hsub == NUM_VALUE:
@@ -837,7 +908,9 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
         def _walk_steps(f):
             p = plan.fields[f]
             if p.kind == KIND_CHAR:
-                return field_lens[:R, f].astype(np.int64)
+                fl = field_lens[:R, f].astype(np.int64)
+                rep = p.rep_mask(R)
+                return fl if rep is None else fl * rep
             return np.ones(R, np.int64)
 
         before_of: dict = {}
@@ -896,6 +969,11 @@ def decode(enc_plan: TitlePlan, fixed_words: np.ndarray, char_words: np.ndarray,
             srow = srow1[:, None].repeat(W, 1)
             c = np.zeros((R, W), np.uint8)
             c[m] = syms[srow[m], step[m]].astype(np.uint8)
+            rep = p.rep_mask(R)
+            if rep is not None:
+                c = c[np.where(rep, np.arange(R),
+                               (np.arange(R) // BLOCK_RECORDS)
+                               * BLOCK_RECORDS)]
             contents[f] = c
 
     return _assemble_titles(plan, field_vals, field_lens, contents, R)
@@ -1032,7 +1110,15 @@ def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
                 bw.put_bit(0)
                 bw.put_bits(p.len_width, 5)
             n_trees = p.tables_lens.shape[0]
-            bw.put_bits(n_trees, 16)
+            if p.blk_const is not None:
+                # n_trees==0xFFFF escape (real counts are <= 129): char
+                # block-constancy bits follow (tasks.cpp:393-509 analogue)
+                bw.put_bits(0xFFFF, 16)
+                bw.put_bits(n_trees, 16)
+                for b in p.blk_const:
+                    bw.put_bit(bool(b))
+            else:
+                bw.put_bits(n_trees, 16)
             for t in range(n_trees):
                 huffman.store_table(bw, p.tables_lens[t], int(p.tables_singletons[t]))
     bw.put_uint(enc.fixed_words.shape[0], 4)
@@ -1059,6 +1145,11 @@ def read_header(br: BitReader, R: int):
             if width == _WIDTH_ESCAPE:
                 wv = br.get_bits(7)
                 wzd = br.get_bits(7)
+                if wv > 64 or wzd > 64:
+                    # writers emit bit_length(...) <= 64; anything wider is
+                    # corruption and would overflow the uint64 decode arrays
+                    raise ValueError(
+                        f"corrupt NUM_BLOCK widths ({wv}, {wzd})")
                 base = br.get_uint(8)
                 B = BLOCK_RECORDS
                 nB = (R + B - 1) // B
@@ -1104,14 +1195,25 @@ def read_header(br: BitReader, R: int):
             else:
                 const_len, len_width = -1, br.get_bits(5)
             n_trees = br.get_bits(16)
+            blk_const = None
+            if n_trees == 0xFFFF:  # block-constancy escape (see write side)
+                n_trees = br.get_bits(16)
+                nB = (R + BLOCK_RECORDS - 1) // BLOCK_RECORDS
+                blk_const = np.array(
+                    [bool(br.get_bit()) for _ in range(nB)])
             pairs = [huffman.load_table(br, ALPHABET) for _ in range(n_trees)]
             lens = np.stack([q[0] for q in pairs]) if n_trees else np.zeros((0, ALPHABET), np.uint8)
             singles = np.array([q[1] for q in pairs], np.int32)
-            fields.append(CharPlan(KIND_CHAR, max_len, const_len, len_width, lens, singles))
+            fields.append(CharPlan(KIND_CHAR, max_len, const_len, len_width,
+                                   lens, singles, blk_const=blk_const))
     n_fixed = br.get_uint(4)
     n_char = br.get_uint(4)
     n_sub = br.get_bits(24)
     w = br.get_bits(6)
+    if w > 31:
+        raise ValueError(f"corrupt substream-table width {w}")
     sub = get_uint_array(br, n_sub, w).astype(np.int32)
+    if int(sub.sum()) > n_char:
+        raise ValueError("corrupt title substream table (sum > char words)")
     tok = Tokenized(F, seps, np.zeros((0, F), np.int32), np.zeros((0, F), np.int32))
     return TitlePlan(tok, fields), n_fixed, n_char, sub

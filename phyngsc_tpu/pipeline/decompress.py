@@ -106,14 +106,30 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
 
 def decompress_bytes(data, cfg: Optional[CodecConfig] = None) -> bytes:
     """`data` is bytes or any buffer (np.memmap works — blocks are sliced
-    lazily, so large containers stream from the page cache)."""
+    lazily, so large containers stream from the page cache).
+
+    Chunks are collected and assembled only after _decode_stream verified
+    the decoded total equals the footer's fastq_size — never allocate from
+    an (unverifiable, possibly corrupt) footer claim up front."""
     foot = _read_footer_any(data)
-    out = bytearray(foot.fastq_size)
+    chunks = []
 
     def write_at(off: int, chunk: bytes) -> None:
-        out[off : off + len(chunk)] = chunk
+        chunks.append((off, chunk))
 
     _decode_stream(data, foot, cfg, write_at)
+    # exact tiling: chunks must cover [0, fastq_size) with no overlap —
+    # corrupt footer overlaps could otherwise misplace writers silently
+    pos = 0
+    for off, chunk in sorted(chunks, key=lambda c: c[0]):
+        if off != pos:
+            raise ValueError(
+                f"corrupt container: decoded chunks do not tile the output "
+                f"(gap/overlap at {pos} vs {off})")
+        pos += len(chunk)
+    out = bytearray(foot.fastq_size)
+    for off, chunk in chunks:
+        out[off : off + len(chunk)] = chunk
     return bytes(out)
 
 
@@ -126,8 +142,11 @@ def decompress_file(in_path: str, out_path: str,
     foot = _read_footer_any(data)
     fd = os.open(out_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
     try:
-        os.ftruncate(fd, foot.fastq_size)
         _decode_stream(data, foot, cfg,
                        lambda off, chunk: os.pwrite(fd, chunk, off))
+        # only after the decoded total verified against the footer claim —
+        # an up-front ftruncate from a corrupt footer would create a huge
+        # sparse file
+        os.ftruncate(fd, foot.fastq_size)
     finally:
         os.close(fd)

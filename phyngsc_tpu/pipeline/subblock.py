@@ -639,6 +639,9 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     # Rp comes from the stored substream-table length, making decode agnostic
     # to the encoder's shard count / bucketing.
     p.Rp = p.q_sub.shape[0] * G if p.q_sub.shape[0] else bucket_records(R, G)
+    if p.Rp < R:
+        raise ValueError(
+            f"corrupt quality substream table: capacity {p.Rp} < {R} records")
     p.lens_pad = np.concatenate([p.lens_np, np.zeros(p.Rp - R, np.int32)])
 
     # Decode-side word buffers are padded to bucketed sizes (16K-word
@@ -678,6 +681,10 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
 
     br = BitReader(dna_sec)
     p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(br)
+    if p.d_sub.shape[0] != p.q_sub.shape[0]:
+        raise ValueError(
+            "corrupt container: DNA substream table length "
+            f"{p.d_sub.shape[0]} != quality's {p.q_sub.shape[0]}")
     p.is_delta = p.is_delta or is_delta_hdr
     br.align()
     p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), "dec_d")

@@ -319,3 +319,50 @@ def test_exact_costing_borderline_delta_vs_value():
     # and it round-trips
     strings = [b"@X:%d" % v for v in vals]
     roundtrip(strings)
+
+
+def _tile_sorted_titles(n=400, seed=12):
+    """Tile-sorted char field: a tag constant for ~64-record runs but varying
+    across runs (the reference's block-constancy win, tasks.cpp:393-509)."""
+    rng = np.random.default_rng(seed)
+    tags = [b"FCA%02dXX" % i for i in range(12)]
+    out = []
+    run = 0
+    tag = tags[0]
+    for i in range(n):
+        if run == 0:
+            tag = tags[int(rng.integers(0, len(tags)))]
+            run = 64
+        run -= 1
+        out.append(b"@M:%s:%d" % (tag, i))
+    return out
+
+
+def test_char_block_constancy_roundtrip():
+    strings = _tile_sorted_titles()
+    enc = roundtrip(strings)
+    blks = [p for p in enc.plan.fields
+            if p.kind == title.KIND_CHAR and p.blk_const is not None]
+    assert blks, "tile-sorted char field should pick block mode"
+
+
+def test_char_block_constancy_beats_plain():
+    strings = _tile_sorted_titles(seed=13)
+    sz = _total_size(strings)
+    # disable block mode by making every block look non-constant
+    saved = title.BLOCK_RECORDS
+    title.BLOCK_RECORDS = 10 ** 9  # one giant block: never fully constant
+    try:
+        sz_plain = _total_size(strings)
+    finally:
+        title.BLOCK_RECORDS = saved
+    assert sz < sz_plain
+
+
+def test_char_block_constancy_partial_tail():
+    # tail block smaller than 32 records, constant
+    strings = [b"@Z:TAG:%d" % i for i in range(40)]
+    # make the char field constant everywhere except block 0
+    strings = [s.replace(b"TAG", b"VAR%d" % (i % 7) if i < 32 else b"TAG")
+               for i, s in enumerate(strings)]
+    roundtrip(strings)
