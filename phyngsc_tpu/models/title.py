@@ -1130,6 +1130,16 @@ def write_header(bw: BitWriter, enc: EncodedTitle) -> None:
     put_uint_array(bw, sub, w)
 
 
+def _checked_base(br: BitReader) -> int:
+    """64-bit base/first field bounded to int64 range: legit numeric values
+    are <= 10^18 (MAX_NUMERIC_DIGITS), so a top-bit-set word is corruption
+    and would overflow the int64 decode arithmetic."""
+    v = br.get_uint(8)
+    if v >= 1 << 63:
+        raise ValueError(f"corrupt numeric base {v:#x}")
+    return v
+
+
 def read_header(br: BitReader, R: int):
     """R (the sub-block's record count, from the meta section) is required:
     the NUM_BLOCK width-escape derives its per-32-record block count from R,
@@ -1150,7 +1160,7 @@ def read_header(br: BitReader, R: int):
                     # corruption and would overflow the uint64 decode arrays
                     raise ValueError(
                         f"corrupt NUM_BLOCK widths ({wv}, {wzd})")
-                base = br.get_uint(8)
+                base = _checked_base(br)
                 B = BLOCK_RECORDS
                 nB = (R + B - 1) // B
                 cnt = np.clip(np.minimum(np.arange(nB) * -B + R, B), 1, B)
@@ -1173,20 +1183,20 @@ def read_header(br: BitReader, R: int):
                 hsub = br.get_bit()
                 alpha = br.get_bits(10)
                 if hsub == NUM_VALUE:
-                    base, first = br.get_uint(8), 0
+                    base, first = _checked_base(br), 0
                 else:
-                    first = br.get_uint(8)
-                    base = _unzigzag(br.get_uint(8))
+                    first = _checked_base(br)
+                    base = _unzigzag(_checked_base(br))
                 lens, sing = huffman.load_table(br, alpha)
                 fields.append(NumericPlan(KIND_NUMERIC, NUM_HUF, 0, base,
                                           first, hsub=hsub, alpha=alpha,
                                           huf_lens=lens, huf_sing=sing))
                 continue
             if mode == NUM_VALUE:
-                base, first = br.get_uint(8), 0
+                base, first = _checked_base(br), 0
             else:
-                first = br.get_uint(8)
-                base = _unzigzag(br.get_uint(8))
+                first = _checked_base(br)
+                base = _unzigzag(_checked_base(br))
             fields.append(NumericPlan(KIND_NUMERIC, mode, width, base, first))
         else:
             max_len = br.get_bits(16)

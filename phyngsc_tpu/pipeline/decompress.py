@@ -40,11 +40,16 @@ def _read_footer_any(data) -> footermod.Footer:
 
 
 def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
-                   write_at) -> None:
+                   write_at, writer_filter=None) -> None:
     """Core streaming decode: calls write_at(offset, chunk) for every decoded
     sub-block, software-pipelined (stage A of later sub-blocks overlaps the
     fused device→host fetch of earlier ones). Holds at most pipeline_depth
-    in-flight sub-blocks — no whole-file accumulation."""
+    in-flight sub-blocks — no whole-file accumulation.
+
+    writer_filter: optional set of writer ids — only their blocks decode
+    (the multi-process driver assigns each process a writer subset; a
+    writer's sub-blocks never split across another writer's blocks, so the
+    filtered stream stitches identically)."""
     cfg = cfg or CodecConfig()
     if (foot.records_per_substream != cfg.records_per_substream
             or foot.max_code_len != cfg.max_code_len):
@@ -63,7 +68,8 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
     def blocks():
         off = 0
         for size, wid in zip(sizes, foot.cbo):
-            yield wid, bytes(data[off : off + size])  # one block at a time
+            if writer_filter is None or wid in writer_filter:
+                yield wid, bytes(data[off : off + size])  # one block at a time
             off += size
 
     from phyngsc_tpu.utils.shapes import BucketCtx
@@ -92,10 +98,16 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
     while pending:
         _drain_one()
 
-    if written != foot.fastq_size:
+    if writer_filter is None:
+        expect = foot.fastq_size
+    else:
+        expect = sum(
+            (starts[w + 1] if w + 1 < len(starts) else foot.fastq_size)
+            - starts[w] for w in writer_filter)
+    if written != expect:
         raise ValueError(
-            f"decompressed size {written} != footer fastq_size {foot.fastq_size}"
-        )
+            f"decompressed size {written} != expected {expect} "
+            f"(footer fastq_size {foot.fastq_size})")
     if sbmod.TIMING is not None:
         from phyngsc_tpu.utils.logging import info
 

@@ -19,9 +19,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=sys.argv[1],
                            num_processes=2, process_id=int(sys.argv[2]))
 from phyngsc_tpu.config import CodecConfig
-from phyngsc_tpu.parallel.distributed import compress_file_distributed
+from phyngsc_tpu.parallel.distributed import (compress_file_distributed,
+                                              decompress_file_distributed)
 cfg = CodecConfig(subblock_input_bytes=64 << 10, records_per_substream=16)
 compress_file_distributed(sys.argv[3], sys.argv[4], cfg)
+# mirror: N-process decompression of the container just written (each
+# process decodes its writer subset and pwrites at absolute offsets)
+decompress_file_distributed(sys.argv[4], sys.argv[5], cfg)
 """
 
 
@@ -35,6 +39,7 @@ def test_two_process_compress(tmp_path):
     data = synthesize_fastq(1500, read_len=36, seed=31)
     in_path = tmp_path / "in.fastq"
     out_path = tmp_path / "out.ngsct"
+    back_path = tmp_path / "back.fastq"
     in_path.write_bytes(data)
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
@@ -43,7 +48,8 @@ def test_two_process_compress(tmp_path):
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, coord, str(i), str(in_path), str(out_path)],
+            [sys.executable, "-c", _WORKER, coord, str(i), str(in_path),
+             str(out_path), str(back_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
         for i in range(2)
@@ -70,3 +76,5 @@ def test_two_process_compress(tmp_path):
         assert rc == 0, err.decode()[-2000:]
     blob = out_path.read_bytes()
     assert decompress_bytes(blob) == data
+    # the 2-process distributed decode must agree byte-exactly too
+    assert back_path.read_bytes() == data
