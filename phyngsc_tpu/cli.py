@@ -61,6 +61,13 @@ def main(argv=None) -> int:
     d.add_argument("input")
     d.add_argument("output")
 
+    imp = sub.add_parser(
+        "import-ngsc",
+        help="decode a reference phyNGSC .ngsc container to FASTQ (the "
+             "decompressor the reference never shipped)")
+    imp.add_argument("input")
+    imp.add_argument("output")
+
     v = sub.add_parser("verify",
                        help="compress+decompress+compare (streams via temp "
                             "files — flat RSS at any input size)")
@@ -94,6 +101,15 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         decompress_file(args.input, args.output)
         print(f"[I] decompressed in {time.perf_counter() - t0:.3f}s")
+        return 0
+
+    if args.cmd == "import-ngsc":
+        from phyngsc_tpu.container.ngsc_import import import_ngsc_file
+
+        t0 = time.perf_counter()
+        n = import_ngsc_file(args.input, args.output)
+        print(f"[I] imported {n} FASTQ bytes from .ngsc in "
+              f"{time.perf_counter() - t0:.3f}s")
         return 0
 
     if args.cmd == "verify":

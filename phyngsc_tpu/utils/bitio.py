@@ -135,6 +135,22 @@ class BitReader:
         self._acc &= (1 << self._nbits) - 1
         return out
 
+    def peek_bits(self, nbits: int) -> int:
+        """Next nbits without consuming; bits past the end read as 0 (a
+        prefix-code LUT peeks full width near the flush padding)."""
+        pos, acc, nb = self._pos, self._acc, self._nbits
+        n = len(self._buf)
+        while nb < nbits and pos < n:
+            acc = (acc << 8) | self._buf[pos]
+            pos += 1
+            nb += 8
+        if nb >= nbits:
+            return (acc >> (nb - nbits)) & ((1 << nbits) - 1)
+        return (acc << (nbits - nb)) & ((1 << nbits) - 1)
+
+    def skip_bits(self, nbits: int) -> None:
+        self.get_bits(nbits)
+
     def get_bit(self) -> int:
         return self.get_bits(1)
 
