@@ -212,7 +212,16 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
         span = buf[int(idx.title_start[0]) : int(idx.qual_end[-1]) + 1]
         st.crc = zlib.crc32(np.ascontiguousarray(span))
     st.is_delta = dna.detect_delta(seq_np[:R], lens_np)
-    lens_j = st.lens_j = jax.device_put(lens_pad)
+    if R and bool(np.all(lens_np == lens_np[0])):
+        # uniform lengths regenerate on device from the scalar record count
+        # — elides the (Rp,) int32 lens upload (262 KB per 64K-record
+        # sub-block; the wire bounds e2e throughput on relay/PCIe links)
+        _acct("h2d_bytes", 8)
+        lens_j = st.lens_j = _uniform_lens(
+            jax.device_put(np.array([R], np.int32)), Rp, int(lens_np[0]))
+    else:
+        _acct("h2d_bytes", lens_pad.nbytes)
+        lens_j = st.lens_j = jax.device_put(lens_pad)
 
     if codec is not None:
         seq_j = jax.device_put(seq_np)
@@ -227,7 +236,7 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     else:
         s_mode, s_words = transfer.pack_seq_np(seq_np)
         q_mode, q_words = transfer.pack_qual_np(qual_np)
-        _acct("h2d_bytes", s_words.nbytes + q_words.nbytes + lens_pad.nbytes)
+        _acct("h2d_bytes", s_words.nbytes + q_words.nbytes)
         blob_in = jax.device_put(np.concatenate([s_words, q_words]))  # one H2D
         st.seq_j, st.qual_t, st.keep, st.counts_blob = _analyze_all(
             blob_in, lens_j, is_delta=st.is_delta,
@@ -237,6 +246,13 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
     if executor is not None:
         st.t_future = executor.submit(title.encode, st.titles_np, tlens_np, cfg)
     return st
+
+
+@functools.partial(jax.jit, static_argnames=("Rp", "Lt"))
+def _uniform_lens(r: jnp.ndarray, Rp: int, Lt: int) -> jnp.ndarray:
+    """(Rp,) lens for uniform-length sub-blocks from the scalar real record
+    count (padding rows get 0) — replaces a 4*Rp-byte upload with 4 bytes."""
+    return jnp.where(jnp.arange(Rp, dtype=jnp.int32) < r[0], Lt, 0)
 
 
 @jax.jit
@@ -278,23 +294,50 @@ def _lane_unpack_np(words: np.ndarray, w: int, n: int) -> np.ndarray:
     return lanes.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("w", "q6"))
-def _pack_out(seq, qual, idx_tab, w, q6):
+@functools.partial(jax.jit, static_argnames=("w", "q6", "exc_cap"))
+def _pack_out(seq, qual, idx_tab, lens, w, q6, exc_cap=0):
     """Packed decode-output fetch: the (2, Rp, L) uint8 planes are the
     decompressor's dominant relay/PCIe transfer — the restored alphabet is
     host-known (DNA plan symbols ∪ restored IUPAC chars), so seq ships as a
     w-bit alphabet index and quality as q-33 in 6 bits when the range
-    allows. Inverse of ops/transfer's H2D packing, same lane layout."""
+    allows. Inverse of ops/transfer's H2D packing, same lane layout.
+
+    exc_cap > 0 (rich alphabets, w >= 4): seq ships as a 2-bit ACGT plane
+    plus sparse exception words (pos << 8 | byte, position-sorted,
+    0xFFFFFFFF sentinels) — the D2H mirror of the upload-side SEQ_2BIT_EXC.
+    Real IUPAC rates are fractions of a percent, so this roughly halves the
+    seq fetch; blob leads with the true exception count so the host can
+    detect cap overflow and refetch plain (decode_stage_b)."""
     L = seq.shape[1]
-    tab = jnp.broadcast_to(idx_tab[None, :], (L, 256))
-    idx = lookup.fused_lookup(seq, tab).reshape(-1)
-    sw = _lane_pack_j(idx, w)
     q = qual.astype(jnp.int32).reshape(-1)
     if q6:
         qv = jnp.where(q < 33, 0, q - 33)
         qw = _lane_pack_j(qv, 6)
     else:
         qw = _lane_pack_j(q, 8)
+    if exc_cap:
+        n = seq.shape[0] * L
+        flat = seq.reshape(-1).astype(jnp.int32)
+        is_acgt = ((flat == 65) | (flat == 67) | (flat == 71) | (flat == 84))
+        code = jnp.zeros(256, jnp.uint32).at[
+            jnp.array([65, 67, 71, 84])].set(
+            jnp.arange(4, dtype=jnp.uint32))[flat]
+        valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
+                 < lens[:, None]).reshape(-1)
+        exc = valid & ~is_acgt
+        big = jnp.int32(0x7FFFFFFF)
+        key = jnp.where(exc, jnp.arange(n, dtype=jnp.int32), big)
+        sk, sp = jax.lax.sort((key, flat.astype(jnp.uint32)),
+                              dimension=0, num_keys=1)
+        ew = jnp.where(sk[:exc_cap] == big, jnp.uint32(0xFFFFFFFF),
+                       (sk[:exc_cap].astype(jnp.uint32) << 8) | sp[:exc_cap])
+        count = jnp.sum(exc).astype(jnp.uint32)[None]
+        base2 = jnp.where(exc | ~valid, jnp.uint32(0), code)
+        sw = _lane_pack_j(base2, 2)
+        return jnp.concatenate([count, ew, sw, qw])
+    tab = jnp.broadcast_to(idx_tab[None, :], (L, 256))
+    idx = lookup.fused_lookup(seq, tab).reshape(-1)
+    sw = _lane_pack_j(idx, w)
     return jnp.concatenate([sw, qw])
 
 
@@ -527,17 +570,20 @@ def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> byte
 
 class _DStage:
     """Decode stage A result: everything parsed/dispatched, the fused
-    (seq, qual) device blob pending fetch. out_meta is (alpha, q6, Rp, L)
-    when the blob is lane-packed (see _pack_out), else None."""
+    (seq, qual) device blob pending fetch. out_meta is
+    (alpha, q6, Rp, L, exc_cap) when the blob is lane-packed (see
+    _pack_out), else None; p/dev are retained for the (rare) exception-cap
+    overflow refetch."""
 
     __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob", "crc",
-                 "out_meta")
+                 "out_meta", "p", "dev", "cfg")
 
 
 def decode_stage_a(data: bytes, cfg: CodecConfig, buckets=None) -> _DStage:
     st = _DStage()
     (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob,
-     st.crc, st.out_meta) = _decode_dispatch(data, cfg, buckets)
+     st.crc, st.out_meta, st.p, st.dev) = _decode_dispatch(data, cfg, buckets)
+    st.cfg = cfg
     _host_async(st.blob)
     return st
 
@@ -550,15 +596,37 @@ def decode_stage_b(st: _DStage) -> bytes:
     _acct("d2h_bytes", both.nbytes)
     t0 = _tick("d.fetch", t0)
     if st.out_meta is not None:
-        alpha, q6, Rp, L = st.out_meta
+        alpha, q6, Rp, L, exc_cap = st.out_meta
         n = Rp * L
-        w = _out_width(alpha.shape[0])
-        n_sw, n_qw = _out_fetch_words(n, w, q6)
-        seq = alpha[_lane_unpack_np(both[:n_sw], w, n)].reshape(Rp, L)[: st.R]
-        if q6:
-            q = _lane_unpack_np(both[n_sw : n_sw + n_qw], 6, n) + 33
+        if exc_cap and int(both[0]) > exc_cap:
+            # pathological non-ACGT density overflowed the exception budget
+            # — refetch with the plain w-bit packing (one extra round trip,
+            # never on realistic data)
+            blob2 = _decode_device(st.p, st.dev, st.cfg, force_plain_out=True)
+            both = np.asarray(blob2)
+            _acct("d2h_bytes", both.nbytes)
+            exc_cap = 0
+        if exc_cap:
+            ew = both[1 : 1 + exc_cap]
+            off = 1 + exc_cap
+            n_sw, n_qw = _out_fetch_words(n, 2, q6)
+            codes = _lane_unpack_np(both[off : off + n_sw], 2, n)
+            seq = np.frombuffer(b"ACGT", np.uint8)[codes]
+            live = ew != 0xFFFFFFFF
+            seq[(ew[live] >> 8).astype(np.int64)] = (
+                ew[live] & 0xFF).astype(np.uint8)
+            seq = seq.reshape(Rp, L)[: st.R]
+            off += n_sw
         else:
-            q = _lane_unpack_np(both[n_sw : n_sw + n_qw], 8, n)
+            w = _out_width(alpha.shape[0])
+            n_sw, n_qw = _out_fetch_words(n, w, q6)
+            seq = alpha[_lane_unpack_np(both[:n_sw], w, n)
+                        ].reshape(Rp, L)[: st.R]
+            off = n_sw
+        if q6:
+            q = _lane_unpack_np(both[off : off + n_qw], 6, n) + 33
+        else:
+            q = _lane_unpack_np(both[off : off + n_qw], 8, n)
         qual = q.astype(np.uint8).reshape(Rp, L)[: st.R]
     else:
         seq, qual = both[0, : st.R], both[1, : st.R]
@@ -846,24 +914,28 @@ def _out_width(n_alpha: int) -> int:
     return 4 if n_alpha <= 16 else 5
 
 
-def _decode_tail(qual_t, lens, dna_syms, out_tab, *, is_delta, out_w, q6):
+def _decode_tail(qual_t, lens, dna_syms, out_tab, *, is_delta, out_w, q6,
+                 exc_cap=0):
     """Shared decode-graph tail: ambiguity restore → delta untranslate →
     packed (or raw) output blob."""
     seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens)
     if is_delta:
         seq_j = dna.delta_untranslate(seq_j, lens)
     if out_w and not is_delta:
-        return _pack_out(seq_j, qual_j, out_tab, out_w, q6)
+        return _pack_out(seq_j, qual_j, out_tab, lens, out_w, q6,
+                         exc_cap=exc_cap)
     return _fuse_seq_qual(seq_j, qual_j)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "use_pairs", "d_plain", "is_delta", "out_w",
-    "q6", "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len"))
+    "q6", "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len",
+    "exc_cap"))
 def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
                          luts2, pair_vec, half_vec, q_luts, d_luts, out_tab,
                          *, use_pairs, d_plain, is_delta, out_w, q6,
-                         L, Lt, G, pair_bits, lut_bits, uniform_len):
+                         L, Lt, G, pair_bits, lut_bits, uniform_len,
+                         exc_cap=0):
     """Whole per-sub-block decode graph as ONE executable (non-walk paths:
     pair-LUT gathers and the XLA substream walk — the TPU pallas-walk path
     is _decode_walk_fused): quality decode → keep mask → DNA decode →
@@ -900,16 +972,18 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
         dna_syms = dna.decode_huffman(d_words, d_sub, keep, d_luts,
                                       L, G, lut_bits)
     return _decode_tail(qual_t, lens, dna_syms, out_tab,
-                        is_delta=is_delta, out_w=out_w, q6=q6)
+                        is_delta=is_delta, out_w=out_w, q6=q6,
+                        exc_cap=exc_cap)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "n_q", "n_d", "Rp", "L", "Lt", "G", "variable",
     "q_k", "d_k", "n_q_trees", "lut_bits", "q_wmax", "d_wmax", "sp",
-    "d_plain", "is_delta", "out_w", "q6", "interpret"))
+    "d_plain", "is_delta", "out_w", "q6", "exc_cap", "interpret"))
 def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
                        q_k, d_k, n_q_trees, lut_bits, q_wmax, d_wmax, sp,
-                       d_plain, is_delta, out_w, q6, interpret=False):
+                       d_plain, is_delta, out_w, q6, exc_cap=0,
+                       interpret=False):
     """Whole per-sub-block pallas-walk decode graph over ONE fused H2D blob
     (_walk_blob_np's exact layout; every slice size is a bucketed static so
     sub-blocks share this executable). The blob carries the LINEAR packed
@@ -973,14 +1047,31 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
         out_tab = jnp.zeros(256, jnp.int32).at[alpha].set(
             jnp.arange(32, dtype=jnp.int32), mode="drop")
     return _decode_tail(qual_t, lens, dna_syms, out_tab,
-                        is_delta=is_delta, out_w=out_w, q6=q6)
+                        is_delta=is_delta, out_w=out_w, q6=q6,
+                        exc_cap=exc_cap)
 
 
-def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
+def _out_exc_cap(Rp: int, L: int, n_alpha: int) -> int:
+    """Exception-word budget for the 2-bit+exceptions output fetch: engages
+    only for rich restored alphabets (w >= 4, where the plain packing pays
+    >= 4 bits/base for sub-percent IUPAC rates); 1/32 of the cells (~3.1%
+    non-ACGT headroom — overflow refetches plain). Positions must fit the
+    24-bit field."""
+    n = Rp * L
+    if n_alpha <= 8 or n >= (1 << 24):
+        return 0
+    return min(-(-(n // 32) // 8192) * 8192, n)
+
+
+def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
+                   force_plain_out: bool = False):
     """Dispatch the fused decode executable; returns the blob pending one
-    fetch."""
+    fetch. force_plain_out disables the exception-packed seq fetch (the
+    overflow refetch path, decode_stage_b)."""
     pack = p.out_alpha is not None and not p.is_delta
     out_w = _out_width(p.out_alpha.shape[0]) if pack else 0
+    exc_cap = (0 if (not pack or force_plain_out)
+               else _out_exc_cap(p.Rp, p.L, p.out_alpha.shape[0]))
     if p.use_walk:
         q_k, d_k, n_q_trees = dev["walk_meta"]
         return _decode_walk_fused(
@@ -997,6 +1088,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
             q_wmax=p.q_wmax, d_wmax=p.d_wmax, sp=p.sp,
             d_plain=p.d_plan.mode == dna.MODE_PLAIN,
             is_delta=bool(p.is_delta), out_w=out_w, q6=bool(p.q6),
+            exc_cap=exc_cap,
             interpret=jax.default_backend() != "tpu",
         )
     use_pairs = p.pplan is not None
@@ -1011,6 +1103,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig):
         is_delta=bool(p.is_delta),
         out_w=out_w,
         q6=bool(p.q6),
+        exc_cap=exc_cap,
         # statics unused by the taken branch are pinned to 0 so they don't
         # key extra executables (e.g. per-raw-read-length Lt when the pair
         # path is off — the cold-start budget counts executables)
@@ -1030,11 +1123,15 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None):
     t0 = _t.perf_counter()
     p = _decode_parse(data, cfg, buckets)
     t0 = _tick("d.parse", t0)
-    blob = _decode_device(p, _decode_device_inputs(p, cfg), cfg)
+    dev = _decode_device_inputs(p, cfg)
+    blob = _decode_device(p, dev, cfg)
     _tick("d.device_dispatch", t0)
-    out_meta = ((p.out_alpha, p.q6, p.Rp, p.L)
-                if p.out_alpha is not None and not p.is_delta else None)
-    return p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc, out_meta
+    pack = p.out_alpha is not None and not p.is_delta
+    out_meta = ((p.out_alpha, p.q6, p.Rp, p.L,
+                 _out_exc_cap(p.Rp, p.L, p.out_alpha.shape[0]))
+                if pack else None)
+    return (p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc, out_meta,
+            p if pack else None, dev if pack else None)
 
 
 def _reassemble(R, lens_np, titles_np, tlens_np, seq_np, qual_np) -> bytes:

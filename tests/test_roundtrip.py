@@ -184,3 +184,54 @@ def test_packed_output_fetch_edge_alphabets():
     ):
         comp = compress_bytes(data, cfg, 1)
         assert decompress_bytes(comp) == data
+
+
+def _iupac_fastq(n, rate, seed=0, read_len=36):
+    rng = np.random.default_rng(seed)
+    alphabet = np.frombuffer(b"ACGTNYRWSKMDVHB", np.uint8)
+    probs = np.full(15, rate / 11)
+    probs[:4] = (1 - rate) / 4
+    recs = []
+    for i in range(n):
+        seq = rng.choice(alphabet, size=read_len, p=probs)
+        qual = rng.integers(33, 41, size=read_len).astype(np.uint8)
+        recs.append(b"@ex%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + qual.tobytes() + b"\n")
+    return b"".join(recs)
+
+
+def test_exception_packed_output_fetch():
+    """Rich restored alphabet (> 8 symbols) at a realistic sub-percent
+    IUPAC rate: the decode output ships as a 2-bit ACGT plane + sparse
+    exception words (subblock._pack_out exc path)."""
+    from phyngsc_tpu.pipeline import subblock as sbmod
+
+    cfg = CodecConfig(subblock_input_bytes=256 << 10,
+                      records_per_substream=8)
+    data = _iupac_fastq(800, rate=0.01, seed=41)
+    # the path must actually engage for this alphabet/shape
+    assert sbmod._out_exc_cap(1024, 36, 15) > 0
+    blob = compress_bytes(data, cfg)
+    assert decompress_bytes(blob, cfg) == data
+
+
+def test_exception_cap_overflow_refetches_plain(monkeypatch):
+    """Pathological non-ACGT density (> the exception budget, floor 8192
+    words) must trigger the plain-packing refetch, still byte-exact."""
+    from phyngsc_tpu.pipeline import subblock as sbmod
+
+    data = _iupac_fastq(600, rate=0.6, seed=42)
+    cfg = CodecConfig(subblock_input_bytes=256 << 10,
+                      records_per_substream=8)
+    calls = {"plain": 0}
+    orig = sbmod._decode_device
+
+    def spy(p, dev, cfg_, force_plain_out=False):
+        if force_plain_out:
+            calls["plain"] += 1
+        return orig(p, dev, cfg_, force_plain_out)
+
+    monkeypatch.setattr(sbmod, "_decode_device", spy)
+    blob = compress_bytes(data, cfg)
+    assert decompress_bytes(blob, cfg) == data
+    assert calls["plain"] > 0, "overflow refetch did not fire"
