@@ -231,7 +231,7 @@ for _i, _c in enumerate(b"ACGT"):
 def encode_device(seq: jnp.ndarray, keep: jnp.ndarray,
                   codes_tab: jnp.ndarray, lens_tab: jnp.ndarray,
                   mode: int, records_per_substream: int, n_words_cap: int,
-                  group: int = 2, pack: str = "scatter"):
+                  group: int = 2, pack: str = "scatter", off=None):
     """Pack kept DNA symbols. Returns (words, sub_n_words, total_words).
 
     Plain mode packs 16 bases per element (group_fixed2); Huffman mode uses
@@ -245,9 +245,11 @@ def encode_device(seq: jnp.ndarray, keep: jnp.ndarray,
                 + (s32 == ord("T")) * 3).astype(jnp.uint32)
         pc, pl = lookup.group_fixed2(vals, keep, 16)
     else:
+        A = codes_tab.shape[-1]
+        sym = s32 if off is None else jnp.clip(s32 - off, 0, A - 1)
         fused_tab = jnp.broadcast_to(
-            lookup.fuse_tables(codes_tab, lens_tab)[None, :], (seq.shape[1], 256))
-        fused = lookup.fused_lookup(seq, fused_tab)
+            lookup.fuse_tables(codes_tab, lens_tab)[None, :], (seq.shape[1], A))
+        fused = lookup.fused_lookup(sym, fused_tab)
         codes, lens = lookup.split_fused(fused)
         lens = jnp.where(keep, lens, 0)
         codes = jnp.where(keep, codes, 0)

@@ -122,7 +122,7 @@ def build_tables(counts: np.ndarray, cfg: CodecConfig) -> QualityTables:
 def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
                   codes_tab: jnp.ndarray, lens_tab: jnp.ndarray,
                   records_per_substream: int, n_words_cap: int,
-                  group: int = 2, pack: str = "scatter"):
+                  group: int = 2, pack: str = "scatter", off=None):
     """Pack the quality stream. Returns (words, sub_n_words, total_words).
 
     TPU path: per-position (code,len) lookup runs as a one-hot MXU matmul
@@ -140,7 +140,13 @@ def encode_device(qual: jnp.ndarray, lens: jnp.ndarray,
     pos = jnp.arange(L, dtype=jnp.int32)
     tree = tree_of_position(pos, n_trees)
     v = valid_mask(lens, L)
-    fused_tab = lookup.fuse_tables(codes_tab, lens_tab)[tree]  # (L, 256)
+    if off is not None:
+        # tables are sliced to an A-column alphabet window (lookup.window_np)
+        # — clip is safe: every symbol at a valid position is in the window,
+        # and invalid positions are masked right after the lookup
+        qual = jnp.clip(qual.astype(jnp.int32) - off,
+                        0, codes_tab.shape[1] - 1)
+    fused_tab = lookup.fuse_tables(codes_tab, lens_tab)[tree]  # (L, A)
     fused = lookup.fused_lookup(qual, fused_tab)
     sym_codes, sym_lens = lookup.split_fused(fused)
     sym_lens = jnp.where(v, sym_lens, 0)

@@ -757,6 +757,74 @@ def dense_words_device(words: jnp.ndarray, sub_n_words: jnp.ndarray,
     return vals.reshape(Sp, Wmax).T
 
 
+#: rows per grid step of the densify copy kernel (DMAs per batch overlap)
+_DENSE_RB = 8
+
+
+def _dense_rows_kernel(start_ref, w_ref, out_ref, sems):
+    """Row s of out gets words[start[s] : start[s]+Wmax] by one HBM→HBM DMA.
+
+    Rows own disjoint output regions, so the _DENSE_RB DMAs of a batch are
+    issued back-to-back and drained together — no ordering constraints. A
+    row's tail beyond sub[s] words holds the *following* lanes' words
+    rather than zeros; that is safe for the walk kernels: per-lane cursors
+    never pass the lane's own bit total, and trailing don't-care bits in a
+    LUT window hit entries that share the code prefix (full-width canonical
+    LUT), so decoded symbols are unaffected."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    Wmax = out_ref.shape[1]
+
+    def _dma(j):
+        s = i * _DENSE_RB + j
+        return pltpu.make_async_copy(
+            w_ref.at[pl.ds(start_ref[s], Wmax)], out_ref.at[s], sems.at[j])
+
+    def _issue(j, c):
+        _dma(j).start()
+        return c
+
+    def _drain(j, c):
+        _dma(j).wait()
+        return c
+
+    jax.lax.fori_loop(0, _DENSE_RB, _issue, 0)
+    jax.lax.fori_loop(0, _DENSE_RB, _drain, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("Wmax", "Sp", "interpret"))
+def dense_words_pallas(words: jnp.ndarray, sub_n_words: jnp.ndarray,
+                       Wmax: int, Sp: int, interpret: bool = False):
+    """Pallas twin of dense_words_device: one contiguous DMA per lane
+    instead of two global sorts (ROADMAP #4 — BENCH_r03 showed the sorts
+    dominating the fused decode graph). Valid cells (w < sub[s]) match
+    dense_words_device exactly; padding cells hold neighboring words, not
+    zeros (safe for the walks, see _dense_rows_kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sub = jnp.zeros((Sp,), jnp.int32)
+    sub = jax.lax.dynamic_update_slice(sub, sub_n_words.astype(jnp.int32), (0,))
+    start = jnp.cumsum(sub) - sub
+    # over-read room for the last lanes: start[s] + Wmax <= n + Wmax
+    w = jnp.concatenate([words.astype(jnp.uint32),
+                         jnp.zeros(Wmax, jnp.uint32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Sp // _DENSE_RB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_DENSE_RB,))],
+    )
+    out = pl.pallas_call(
+        _dense_rows_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Sp, Wmax), jnp.uint32),
+        interpret=interpret)(start, w)
+    return out.T
+
+
 def dense_geometry(sub_n_words: np.ndarray, row_bucket: int = 256,
                    lane_pad: int = 128) -> tuple:
     """(Wmax, Sp) plane geometry for the pallas walk, bucketed so sub-blocks

@@ -36,6 +36,30 @@ def fuse_tables(codes, lens):
     return (lens.astype(jnp.int32) << CODE_BITS) | codes.astype(jnp.int32)
 
 
+def window_np(counts) -> tuple:
+    """Alphabet window (off, A) for a (..., 256) symbol-count array.
+
+    The one-hot lookup's cost is linear in table columns; real alphabets
+    occupy a narrow byte range (quality ~[33, 104], DNA letters ~[45, 89]),
+    so the encoder slices its tables to A ∈ {64, 128, 256} columns starting
+    at `off` and looks up clip(sym - off, 0, A-1). Safe whenever every
+    symbol that can occur at an unmasked position has a nonzero count
+    (callers mask invalid positions after the lookup, exactly as they
+    already do at full width). A is bucketed so executables don't
+    proliferate per dataset."""
+    import numpy as np
+
+    c = np.asarray(counts).reshape(-1, counts.shape[-1])
+    nz = np.flatnonzero(c.any(axis=0))
+    if nz.size == 0:
+        return 0, 64
+    width = int(nz[-1]) - int(nz[0]) + 1
+    for A in (64, 128, 256):
+        if width <= A:
+            return min(int(nz[0]), c.shape[1] - A), A
+    raise AssertionError("symbol alphabet exceeds 256")
+
+
 def _resolve_variant() -> str:
     import os
 
@@ -184,7 +208,7 @@ _PL_LC = 40
 
 def _pl_kernel(sym_ref, tab_ref, out_ref):
     TR, Lc = sym_ref.shape
-    A = 256
+    A = tab_ref.shape[0] // Lc
     s = sym_ref[:]
     oh = (s[:, :, None]
           == jax.lax.broadcasted_iota(jnp.int32, (TR, Lc, A), 2))
@@ -231,8 +255,8 @@ def fused_lookup_pallas(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
                         interpret: bool = False) -> jnp.ndarray:
     """Pallas twin of fused_lookup — bit-exact (tests/test_bitpack.py)."""
     R, L = symbols.shape
-    if fused_tab.shape[1] != 256:
-        raise ValueError("fused_lookup_pallas requires A == 256 tables")
+    if fused_tab.shape[1] not in (64, 128, 256):
+        raise ValueError("fused_lookup_pallas requires A in {64, 128, 256}")
     pad = (-R) % _PL_TR
     sym = jnp.pad(symbols.astype(jnp.int32), ((0, pad), (0, 0)))
     outs = []

@@ -137,16 +137,18 @@ class ShardedSubblockCodec:
             return fn
         da = self.cfg.data_axis
 
-        def encode(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens):
+        def encode(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
+                   q_off, d_off):
             qw, qs, qt = qmod.encode_device(
-                qual_t, lens, q_codes, q_lens, G, cap, pack=pack)
+                qual_t, lens, q_codes, q_lens, G, cap, pack=pack, off=q_off)
             dw, ds, dt = dmod.encode_device(
-                seq, keep, d_codes, d_lens, mode, G, cap, pack=pack)
+                seq, keep, d_codes, d_lens, mode, G, cap, pack=pack, off=d_off)
             return qw, qs, qt.reshape(1), dw, ds, dt.reshape(1)
 
         fn = jax.jit(shard_map(
             encode, mesh=self.mesh, check_vma=False,
-            in_specs=(P(da), P(da), P(da), P(da), P(), P(), P(), P()),
+            in_specs=(P(da), P(da), P(da), P(da), P(), P(), P(), P(),
+                      P(), P()),
             out_specs=(P(da), P(da), P(da), P(da), P(da), P(da)),
         ))
         self._encode_cache[key] = fn
@@ -154,11 +156,18 @@ class ShardedSubblockCodec:
 
     def encode(self, qual_t, keep, seq, lens, q_codes, q_lens,
                d_codes, d_lens, G: int, cap_per_shard: int, mode: int,
-               pack: str = "scatter"):
+               pack: str = "scatter", q_off=None, d_off=None):
         """Returns per-shard-concatenated (q_words, q_sub, q_totals (n_data,),
         d_words, d_sub, d_totals). pack="rows" packs per-shard (S, T) row
         planes that concatenate along substreams (the format stays
         shard-count independent); other modes pack linear cap buffers whose
         slack the host trims using the totals."""
+        import numpy as _np
+
         fn = self._encoder(G, cap_per_shard, mode, pack)
-        return fn(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens)
+        if q_off is None:
+            q_off = _np.int32(0)
+        if d_off is None:
+            d_off = _np.int32(0)
+        return fn(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
+                  q_off, d_off)

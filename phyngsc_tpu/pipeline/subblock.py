@@ -384,13 +384,19 @@ def _analyze_all(blob, lens, is_delta=False, seq_mode=0, qual_mode=0, L=1):
 @functools.partial(jax.jit, static_argnames=("mode", "G", "q_cap", "d_cap",
                                               "q_group", "d_group", "pack"))
 def _encode_all(qual_t, keep, seq, lens, q_codes, q_lens, d_codes, d_lens,
-                mode, G, q_cap, d_cap, q_group=2, d_group=2, pack="scatter"):
+                mode, G, q_cap, d_cap, q_group=2, d_group=2, pack="scatter",
+                q_off=None, d_off=None):
     """Whole stage-B device graph (both stream encoders + output fusion) as
-    one executable; returns the fused fetch blob + layout sizes."""
+    one executable; returns the fused fetch blob + layout sizes.
+
+    q_off/d_off: alphabet-window origins when the code tables are sliced to
+    64/128 columns (lookup.window_np) — the lookup's one-hot cost is linear
+    in table columns, so the common ~70-symbol quality alphabet runs 2-4x
+    fewer MXU/VPU columns than the full 256."""
     q_words, q_sub, q_total = quality.encode_device(
-        qual_t, lens, q_codes, q_lens, G, q_cap, q_group, pack)
+        qual_t, lens, q_codes, q_lens, G, q_cap, q_group, pack, q_off)
     d_words, d_sub, d_total = dna.encode_device(
-        seq, keep, d_codes, d_lens, mode, G, d_cap, d_group, pack)
+        seq, keep, d_codes, d_lens, mode, G, d_cap, d_group, pack, d_off)
     blob = jnp.concatenate([
         q_words.reshape(-1),
         d_words.reshape(-1),
@@ -433,10 +439,25 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
 
     d_group = _lookup.group_for(int(st.d_plan.lens_tab.max()) or 1) \
         if st.d_plan.mode == dna.MODE_HUFFMAN else 2
+    # alphabet windows: slice the device copies of the code tables to the
+    # occupied symbol range (counts-derived, so every symbol that can occur
+    # at a valid position is inside) — the one-hot lookup cost and the table
+    # upload both shrink with the column count. Header serialization keeps
+    # the full-width tables; decode is unaffected.
+    q_off, q_A = _lookup.window_np(q_counts)
+    q_codes_dev = np.ascontiguousarray(st.q_tables.codes[:, q_off:q_off + q_A])
+    q_lens_dev = np.ascontiguousarray(st.q_tables.lens[:, q_off:q_off + q_A])
+    if st.d_plan.mode == dna.MODE_HUFFMAN:
+        d_off, d_A = _lookup.window_np(d_counts.reshape(1, -1))
+        d_codes_dev = np.ascontiguousarray(
+            st.d_plan.codes_tab[d_off:d_off + d_A])
+        d_lens_dev = np.ascontiguousarray(st.d_plan.lens_tab[d_off:d_off + d_A])
+    else:
+        d_off, d_codes_dev, d_lens_dev = 0, st.d_plan.codes_tab, st.d_plan.lens_tab
     t0 = _tick("b.tables", t0)
 
-    _acct("h2d_bytes", st.q_tables.codes.nbytes + st.q_tables.lens.nbytes
-          + st.d_plan.codes_tab.nbytes + st.d_plan.lens_tab.nbytes)
+    _acct("h2d_bytes", q_codes_dev.nbytes + q_lens_dev.nbytes
+          + d_codes_dev.nbytes + d_lens_dev.nbytes)
     S = a.Rp // G
     pack = bitpack.pack_mode()
     plane = pack == "rows"
@@ -444,9 +465,10 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
         cap = 0 if plane else _word_cap(a.Rp // st.n_shards, a.L, G)
         q_words, q_sub, q_total, d_words, d_sub, d_total = codec.encode(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
-            jax.device_put(st.q_tables.codes), jax.device_put(st.q_tables.lens),
-            jax.device_put(st.d_plan.codes_tab), jax.device_put(st.d_plan.lens_tab),
+            jax.device_put(q_codes_dev), jax.device_put(q_lens_dev),
+            jax.device_put(d_codes_dev), jax.device_put(d_lens_dev),
             G, cap, st.d_plan.mode, pack,
+            np.int32(q_off), np.int32(d_off),
         )
         st.blob_layout = [int(np.prod(x.shape)) for x in
                           (q_words, d_words, q_sub, d_sub)]
@@ -473,9 +495,10 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
                 d_cap = a.buckets.pick_words(f"enc_d:{a.Rp}", d_cap, worst)
         st.blob = _encode_all(
             a.qual_t, a.keep, a.seq_j, a.lens_j,
-            jax.device_put(st.q_tables.codes), jax.device_put(st.q_tables.lens),
-            jax.device_put(st.d_plan.codes_tab), jax.device_put(st.d_plan.lens_tab),
+            jax.device_put(q_codes_dev), jax.device_put(q_lens_dev),
+            jax.device_put(d_codes_dev), jax.device_put(d_lens_dev),
             st.d_plan.mode, G, q_cap, d_cap, q_group, d_group, pack,
+            np.int32(q_off), np.int32(d_off),
         )
         if plane:
             Lgq = -(-a.L // q_group)
@@ -1024,8 +1047,10 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
         d_luts = _unpack_i16_words(blob[off : off + V // 2], 1, V)
         off += V // 2
 
-    q_dense = bitpack.dense_words_device(q_words, q_sub, q_wmax, sp)
-    d_dense = bitpack.dense_words_device(d_words, d_sub, d_wmax, sp)
+    q_dense = bitpack.dense_words_pallas(q_words, q_sub, q_wmax, sp,
+                                         interpret=interpret)
+    d_dense = bitpack.dense_words_pallas(d_words, d_sub, d_wmax, sp,
+                                         interpret=interpret)
     if variable:
         qual_t = quality.decode_device_walk_masked(
             q_dense, lens, q_luts, L, G, lut_bits, interpret=interpret)

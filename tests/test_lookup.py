@@ -32,6 +32,62 @@ def test_pallas_lookup_matches_gather(R, L):
     np.testing.assert_array_equal(got, _reference(sym, tab))
 
 
+@pytest.mark.parametrize("A", [64, 128])
+def test_pallas_lookup_narrow_tables(A):
+    # alphabet-window slicing (lookup.window_np): tables with A < 256
+    # columns, symbols pre-clipped to [0, A) by the caller
+    rng = np.random.default_rng(A)
+    R, L = 300, 36
+    tab = rng.integers(0, 1 << 16, size=(L, A)).astype(np.int32)
+    sym = rng.integers(0, A, size=(R, L)).astype(np.uint8)
+    got = np.asarray(lookup.fused_lookup_pallas(
+        jnp.asarray(sym), jnp.asarray(tab), interpret=True))
+    np.testing.assert_array_equal(got, _reference(sym, tab))
+
+
+def test_window_np():
+    counts = np.zeros((3, 256), np.int64)
+    counts[0, 33] = 5
+    counts[2, 96] = 1
+    off, A = lookup.window_np(counts)
+    assert (off, A) == (33, 64)
+    counts[1, 200] = 2
+    off, A = lookup.window_np(counts)
+    assert (off, A) == (0, 256)  # width 168 → full-table bucket, off pinned 0
+    assert lookup.window_np(np.zeros((1, 256), np.int64)) == (0, 64)
+    # window near the top of the byte range shifts off down to fit
+    hi = np.zeros((1, 256), np.int64)
+    hi[0, 250] = 1
+    off, A = lookup.window_np(hi)
+    assert off + A <= 256 and off <= 250 < off + A
+
+
+def test_encode_device_windowed_matches_full():
+    # quality encode with sliced tables + off == full-width encode
+    from phyngsc_tpu.models import quality
+    from phyngsc_tpu.config import CodecConfig
+
+    rng = np.random.default_rng(11)
+    R, L = 256, 36
+    qual = (rng.integers(33, 74, size=(R, L))).astype(np.uint8)
+    lens = np.full(R, L, np.int32)
+    counts = quality.analyze(jnp.asarray(qual), jnp.asarray(lens))
+    tabs, group = quality.build_tables_adaptive(np.asarray(counts),
+                                                CodecConfig())
+    off, A = lookup.window_np(np.asarray(counts))
+    assert A < 256
+    full = quality.encode_device(
+        jnp.asarray(qual), jnp.asarray(lens), jnp.asarray(tabs.codes),
+        jnp.asarray(tabs.lens), 64, 4096, group)
+    win = quality.encode_device(
+        jnp.asarray(qual), jnp.asarray(lens),
+        jnp.asarray(np.ascontiguousarray(tabs.codes[:, off:off + A])),
+        jnp.asarray(np.ascontiguousarray(tabs.lens[:, off:off + A])),
+        64, 4096, group, off=np.int32(off))
+    for a, b in zip(full, win):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_lookup_multi_chunk_boundary():
     # L > _PL_LC exercises the position-chunk concatenation path
     rng = np.random.default_rng(7)
@@ -240,6 +296,26 @@ def test_dense_words_device_matches_np():
         got = np.asarray(bitpack.dense_words_device(
             jnp.asarray(up), jnp.asarray(sub), Wmax, Sp))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_dense_words_pallas_matches_valid_cells():
+    # the DMA-copy densify matches the sort densify on every valid cell
+    # (w < sub[s]); padding cells deliberately hold neighboring words
+    rng = np.random.default_rng(23)
+    S, Sp = 37, 128
+    sub = rng.integers(0, 300, size=S).astype(np.int32)
+    total = int(sub.sum())
+    words = rng.integers(0, 1 << 32, size=total, dtype=np.uint64
+                         ).astype(np.uint32)
+    Wmax, _ = bitpack.dense_geometry(sub)
+    ref = np.asarray(bitpack.dense_words_device(
+        jnp.asarray(words), jnp.asarray(sub), Wmax, Sp))
+    got = np.asarray(bitpack.dense_words_pallas(
+        jnp.asarray(words), jnp.asarray(sub), Wmax, Sp, interpret=True))
+    sub_pad = np.zeros(Sp, np.int32)
+    sub_pad[:S] = sub
+    valid = np.arange(Wmax)[:, None] < sub_pad[None, :]
+    np.testing.assert_array_equal(got[valid], ref[valid])
 
 
 def test_lut_runs_roundtrip():
