@@ -811,11 +811,14 @@ def dense_words_pallas(words: jnp.ndarray, sub_n_words: jnp.ndarray,
     # over-read room for the last lanes: start[s] + Wmax <= n + Wmax
     w = jnp.concatenate([words.astype(jnp.uint32),
                          jnp.zeros(Wmax, jnp.uint32)])
+    # both buffers pinned to HBM: untiled memrefs take DMA slices at
+    # arbitrary word offsets, where ANY lets Mosaic promote the source to
+    # VMEM whose (1024,) tiling rejects the unaligned pl.ds slices
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Sp // _DENSE_RB,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_DENSE_RB,))],
     )
     out = pl.pallas_call(
@@ -823,6 +826,25 @@ def dense_words_pallas(words: jnp.ndarray, sub_n_words: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((Sp, Wmax), jnp.uint32),
         interpret=interpret)(start, w)
     return out.T
+
+
+def dense_words(words: jnp.ndarray, sub_n_words: jnp.ndarray,
+                Wmax: int, Sp: int, interpret: bool = False):
+    """Strategy-selected densify: PHYNGSC_DENSIFY=sorts (two stable sorts,
+    default — the proven TPU path) | dma (the DMA-copy pallas kernel,
+    EXPERIMENTAL: current Mosaic tiles 1-D memrefs at (1024,) even in HBM
+    and requires DMA slice shapes aligned to the tiling, so the per-lane
+    Wmax-word copies at arbitrary word offsets are rejected at compile time;
+    kept for interpret-mode tests and future toolchains). Read at trace
+    time; both produce walk-equivalent planes (identical valid cells; the
+    DMA kernel's padding cells hold neighboring words, which the walk
+    kernels never consume — see _dense_rows_kernel)."""
+    import os
+
+    if os.environ.get("PHYNGSC_DENSIFY", "sorts") == "dma":
+        return dense_words_pallas(words, sub_n_words, Wmax, Sp,
+                                  interpret=interpret)
+    return dense_words_device(words, sub_n_words, Wmax, Sp)
 
 
 def dense_geometry(sub_n_words: np.ndarray, row_bucket: int = 256,

@@ -1047,10 +1047,10 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
         d_luts = _unpack_i16_words(blob[off : off + V // 2], 1, V)
         off += V // 2
 
-    q_dense = bitpack.dense_words_pallas(q_words, q_sub, q_wmax, sp,
-                                         interpret=interpret)
-    d_dense = bitpack.dense_words_pallas(d_words, d_sub, d_wmax, sp,
-                                         interpret=interpret)
+    q_dense = bitpack.dense_words(q_words, q_sub, q_wmax, sp,
+                                  interpret=interpret)
+    d_dense = bitpack.dense_words(d_words, d_sub, d_wmax, sp,
+                                  interpret=interpret)
     if variable:
         qual_t = quality.decode_device_walk_masked(
             q_dense, lens, q_luts, L, G, lut_bits, interpret=interpret)
