@@ -29,6 +29,7 @@ big-endian).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WORD_BITS = 32
+
+#: Device-densify strategy for the decode walk planes, resolved ONCE at
+#: import (dense_words is traced inside the fused decode executable, so a
+#: later env change could never reach already-compiled shapes — same
+#: contract as lookup.VARIANT; ADVICE r3 #1):
+#:   - "sorts": two stable global sorts (the proven TPU path)
+#:   - "dma":   EXPERIMENTAL pallas DMA-copy kernel (current Mosaic rejects
+#:     unaligned 1-D DMA slices; kept for interpret-mode tests and future
+#:     toolchains)
+DENSIFY = os.environ.get("PHYNGSC_DENSIFY", "sorts")
 
 
 def pack_lut(sym: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
@@ -151,8 +162,6 @@ def pack_mode() -> str:
 
     PHYNGSC_PACK=rows|rows_compact|scatter overrides.
     """
-    import os
-
     mode = os.environ.get("PHYNGSC_PACK", "auto")
     if mode in ("rows", "rows_compact", "scatter"):
         return mode
@@ -830,18 +839,14 @@ def dense_words_pallas(words: jnp.ndarray, sub_n_words: jnp.ndarray,
 
 def dense_words(words: jnp.ndarray, sub_n_words: jnp.ndarray,
                 Wmax: int, Sp: int, interpret: bool = False):
-    """Strategy-selected densify: PHYNGSC_DENSIFY=sorts (two stable sorts,
-    default — the proven TPU path) | dma (the DMA-copy pallas kernel,
-    EXPERIMENTAL: current Mosaic tiles 1-D memrefs at (1024,) even in HBM
-    and requires DMA slice shapes aligned to the tiling, so the per-lane
-    Wmax-word copies at arbitrary word offsets are rejected at compile time;
-    kept for interpret-mode tests and future toolchains). Read at trace
-    time; both produce walk-equivalent planes (identical valid cells; the
-    DMA kernel's padding cells hold neighboring words, which the walk
-    kernels never consume — see _dense_rows_kernel)."""
-    import os
-
-    if os.environ.get("PHYNGSC_DENSIFY", "sorts") == "dma":
+    """Strategy-selected densify over a LINEAR substream-sequential word
+    stream (see module constant DENSIFY; the module-level resolve makes the
+    choice explicit and import-time-stable). Both strategies produce
+    walk-equivalent planes: identical valid cells; the DMA kernel's padding
+    cells hold neighboring words, which the walk kernels never consume —
+    see _dense_rows_kernel. The banded wire layout (dense_words_banded)
+    supersedes both on the fused decode path."""
+    if DENSIFY == "dma":
         return dense_words_pallas(words, sub_n_words, Wmax, Sp,
                                   interpret=interpret)
     return dense_words_device(words, sub_n_words, Wmax, Sp)

@@ -23,99 +23,9 @@ profiling warrants it.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter
-
-
-def _huffman_depths(freqs: np.ndarray) -> np.ndarray:
-    """Optimal (unbounded) code depths for the non-zero entries of `freqs`.
-
-    Zero-frequency symbols get depth 0 ("absent"), mirroring the reference's
-    zero-frequency compaction (huffman.cpp:24-38)."""
-    present = np.flatnonzero(freqs)
-    n = present.shape[0]
-    depths = np.zeros(freqs.shape[0], dtype=np.int32)
-    if n == 0:
-        return depths
-    if n == 1:
-        # Singleton alphabet → zero-bit code: the decoder reads the symbol
-        # from the table and consumes no payload bits. (The reference spends
-        # a full tree walk on this; constant positions/fields — the Hamming
-        # mask of tasks.cpp:187-193 — become free here.)
-        return depths
-    # heap of (freq, tiebreak, node_id); internal nodes get ids >= n
-    heap = [(int(freqs[s]), i, i) for i, s in enumerate(present)]
-    heapq.heapify(heap)
-    parent = np.full(2 * n - 1, -1, dtype=np.int64)
-    next_id = n
-    counter = n
-    while len(heap) > 1:
-        f1, _, n1 = heapq.heappop(heap)
-        f2, _, n2 = heapq.heappop(heap)
-        parent[n1] = next_id
-        parent[n2] = next_id
-        heapq.heappush(heap, (f1 + f2, counter, next_id))
-        counter += 1
-        next_id += 1
-    # depth of each leaf = #hops to root
-    for i, s in enumerate(present):
-        d = 0
-        node = i
-        while parent[node] != -1:
-            node = parent[node]
-            d += 1
-        depths[s] = d
-    return depths
-
-
-def _limit_lengths(freqs: np.ndarray, depths: np.ndarray, max_len: int) -> np.ndarray:
-    """Clamp depths to max_len and repair the Kraft inequality.
-
-    Greedy repair (zlib-style): lengthen the cheapest (lowest-frequency)
-    over-budget codes until Kraft <= 1, then shorten the most frequent codes
-    while Kraft stays <= 1. Near-optimal in practice; exact package-merge can
-    replace this without format changes (lengths-only serialization).
-    """
-    lens = np.minimum(depths, max_len).astype(np.int64)
-    present = lens > 0
-    n = int(present.sum())
-    if n <= 1:  # empty or zero-bit singleton: nothing to repair
-        return lens.astype(np.uint8)
-    if n > (1 << max_len):
-        raise ValueError(f"alphabet of {n} symbols cannot fit {max_len}-bit codes")
-    target = 1 << max_len
-    kraft = int(np.sum(target >> lens[present]))
-    if kraft > target:
-        # lengthen low-frequency symbols first
-        order = np.argsort(freqs + np.where(present, 0, np.iinfo(np.int64).max // 2), kind="stable")
-        order = [s for s in order if present[s]]
-        while kraft > target:
-            moved = False
-            for s in order:
-                if lens[s] < max_len:
-                    kraft -= target >> (lens[s] + 1)
-                    lens[s] += 1
-                    moved = True
-                    if kraft <= target:
-                        break
-            if not moved:  # pragma: no cover - guarded by n <= 2**max_len
-                raise AssertionError("Kraft repair failed")
-    if kraft < target:
-        # shorten high-frequency symbols while the code stays decodable
-        order = np.argsort(-freqs + np.where(present, 0, np.iinfo(np.int64).max // 2), kind="stable")
-        order = [s for s in order if present[s]]
-        changed = True
-        while changed and kraft < target:
-            changed = False
-            for s in order:
-                while lens[s] > 1 and kraft + (target >> lens[s]) <= target:
-                    kraft += target >> lens[s]
-                    lens[s] -= 1
-                    changed = True
-    return lens.astype(np.uint8)
 
 
 def _package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
@@ -156,9 +66,9 @@ def _package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
 
 def build_code_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
     """Code length per symbol (0 = absent) from a histogram: exact optimal
-    length-limited codes via package-merge (the reference's unbounded tree +
-    our earlier greedy Kraft repair are both dominated; same lengths-only
-    serialization, so no format impact).
+    length-limited codes via package-merge (dominates the reference's
+    unbounded tree, huffman.cpp:18-85; lengths-only serialization keeps
+    the choice of builder out of the format).
 
     A singleton alphabet yields all-zero lengths (zero-bit code); use
     `singleton_of` to recover which symbol it is.
