@@ -43,11 +43,24 @@ WORD_BITS = 32
 #: import (dense_words is traced inside the fused decode executable, so a
 #: later env change could never reach already-compiled shapes — same
 #: contract as lookup.VARIANT; ADVICE r3 #1):
-#:   - "sorts": two stable global sorts (the proven TPU path)
-#:   - "dma":   EXPERIMENTAL pallas DMA-copy kernel (current Mosaic rejects
-#:     unaligned 1-D DMA slices; kept for interpret-mode tests and future
-#:     toolchains)
-DENSIFY = os.environ.get("PHYNGSC_DENSIFY", "sorts")
+#:   - "banded": group-banded WIRE layout (banded_words_np on host,
+#:     dense_words_banded on device) — the plane build is dynamic slices +
+#:     updates, no sorts and no gathers. Default: the two global sorts were
+#:     the measured decode bottleneck (BENCH_r03 device decode 200 MB/s vs
+#:     walk-only ~1 GB/s; VERDICT r3 next #1).
+#:   - "sorts": linear wire layout + two stable global sorts (the r3 path).
+#:   - "dma":   EXPERIMENTAL pallas DMA-copy kernel over the linear layout
+#:     (current Mosaic rejects unaligned 1-D DMA slices; kept for
+#:     interpret-mode tests and future toolchains)
+DENSIFY = os.environ.get("PHYNGSC_DENSIFY", "banded")
+
+#: Lanes per band group of the banded wire layout. Each group of 8 adjacent
+#: substreams ships band-major (word index major, lane minor) padded to the
+#: group's max word count; adjacent substreams are adjacent records with
+#: near-identical compressed sizes, so the measured padding is ~1-4% of the
+#: payload — far cheaper than either the (Wmax, Sp) full plane (1.8-2.3x)
+#: or the on-device sorts the linear layout needs.
+DENSE_GROUP = 8
 
 
 def pack_lut(sym: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
@@ -850,6 +863,93 @@ def dense_words(words: jnp.ndarray, sub_n_words: jnp.ndarray,
         return dense_words_pallas(words, sub_n_words, Wmax, Sp,
                                   interpret=interpret)
     return dense_words_device(words, sub_n_words, Wmax, Sp)
+
+
+def banded_words_np(words: np.ndarray, sub_n_words: np.ndarray,
+                    group: int = DENSE_GROUP) -> np.ndarray:
+    """Host restructure: linear substream-sequential words → the group-banded
+    wire layout (the container stays linear, so the RATIO is untouched; only
+    the upload image changes — VERDICT r3 next #1 realized on the wire
+    instead of in the format).
+
+    Substreams are grouped `group` at a time; group g's block stores its
+    lanes' words band-major — word w of lane j at block offset w*group + j —
+    padded with zeros to the group's max word count Wg. The device plane
+    build (dense_words_banded) is then one contiguous (Wmax, group) slice
+    per group: zero data-dependent movement.
+
+    words must hold at least sum(sub_n_words) leading real words (trailing
+    slack is ignored)."""
+    sub = np.asarray(sub_n_words).astype(np.int64)
+    S = sub.shape[0]
+    if S == 0:
+        return np.zeros(0, np.uint32)
+    ng = -(-S // group)
+    subp = np.pad(sub, (0, ng * group - S))
+    Wg = subp.reshape(ng, group).max(axis=1)
+    gw = Wg * group
+    gstart = np.concatenate([[0], np.cumsum(gw)[:-1]])
+    out = np.zeros(int(gw.sum()), np.uint32)
+    Wmax = int(subp.max())
+    if Wmax == 0:
+        return out
+    cols = np.arange(Wmax, dtype=np.int64)
+    m = cols[None, :] < subp[:, None]                      # (S', Wmax)
+    lane = np.arange(ng * group, dtype=np.int64)
+    dst = (np.repeat(gstart, group)[:, None] + cols[None, :] * group
+           + (lane % group)[:, None])[m]
+    # row-major selection order of m == (lane, word) == the linear layout's
+    # substream-sequential source order
+    out[dst] = np.asarray(words, np.uint32)[: int(sub.sum())]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("Wmax", "Sp", "group"))
+def dense_words_banded(blob: jnp.ndarray, words_off: jnp.ndarray,
+                       sub_n_words: jnp.ndarray, Wmax: int, Sp: int,
+                       group: int = DENSE_GROUP) -> jnp.ndarray:
+    """Device plane build over the banded wire layout (banded_words_np):
+    each group's block is already a contiguous (Wg, group) slab, so the
+    (Wmax, Sp) walk plane is Sp/group dynamic slices + updates — no sorts,
+    no gathers (the primitives XLA:TPU serializes).
+
+    blob[words_off:] holds the banded words; words_off may be traced (the
+    DNA stream's offset is the quality stream's dynamic banded total).
+    Rows >= the group max hold the NEXT group's words rather than zeros —
+    safe for the walk kernels: per-lane cursors never pass the lane's own
+    bit total, and trailing don't-care bits in a LUT window hit entries
+    sharing the code prefix (full-width canonical LUT). The caller
+    guarantees blob extends >= Wmax*group words past the last group start
+    (the wire builder appends that slack)."""
+    assert Sp % group == 0
+    sub = jnp.zeros((Sp,), jnp.int32)
+    sub = jax.lax.dynamic_update_slice(
+        sub, sub_n_words.astype(jnp.int32), (0,))
+    ng = Sp // group
+    Wg = jnp.max(sub.reshape(ng, group), axis=1)           # (ng,)
+    gw = Wg * group
+    gstart = words_off.astype(jnp.int32) + jnp.cumsum(gw) - gw
+
+    def body(g, plane):
+        chunk = jax.lax.dynamic_slice(blob, (gstart[g],), (Wmax * group,))
+        return jax.lax.dynamic_update_slice(
+            plane, chunk.reshape(Wmax, group), (0, g * group))
+
+    return jax.lax.fori_loop(0, ng, body,
+                             jnp.zeros((Wmax, Sp), jnp.uint32))
+
+
+def banded_total(sub_n_words: jnp.ndarray, Sp: int,
+                 group: int = DENSE_GROUP) -> jnp.ndarray:
+    """Device twin of len(banded_words_np(...)): total words of the banded
+    image, computed from the substream table (pad groups beyond the real
+    lanes contribute zero, so any Sp >= ceil(S/group)*group agrees with the
+    host)."""
+    sub = jnp.zeros((Sp,), jnp.int32)
+    sub = jax.lax.dynamic_update_slice(
+        sub, sub_n_words.astype(jnp.int32), (0,))
+    Wg = jnp.max(sub.reshape(Sp // group, group), axis=1)
+    return jnp.sum(Wg) * group
 
 
 def dense_geometry(sub_n_words: np.ndarray, row_bucket: int = 256,

@@ -681,11 +681,12 @@ class _DParsed:
                  "lens_np", "lens_pad", "titles_np", "tlens_np",
                  "q_tables", "q_sub", "q_words", "pplan",
                  "d_plan", "d_sub", "d_words", "out_alpha", "q6",
-                 "use_walk", "q_wmax", "d_wmax", "sp")
+                 "use_walk", "q_wmax", "d_wmax", "sp", "buckets")
 
 
 def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     p = _DParsed()
+    p.buckets = buckets
     sections = []
     off = 0
     for _ in range(4):
@@ -765,8 +766,13 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     _walk_ok = (_walk_env == "pallas"
                 or (_walk_env == "auto" and jax.default_backend() == "tpu"))
     p.use_walk = bool(_walk_ok and R)
+    # banded wire layout: words stay TIGHT here (the whole fused blob is
+    # bucketed once in _walk_blob_np; per-stream 16K pads would be pure
+    # upload waste)
+    _banded = p.use_walk and bitpack.DENSIFY == "banded"
 
-    p.q_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * q_total)), "dec_q")
+    q_raw = bitpack.bytes_to_words(br.get_bytes(4 * q_total))
+    p.q_words = q_raw if _banded else _padded(q_raw, "dec_q")
     p.pplan = (quality.pair_plan(p.q_tables, Lt)
                if (not variable and R and not p.use_walk) else None)
 
@@ -778,7 +784,8 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
             f"{p.d_sub.shape[0]} != quality's {p.q_sub.shape[0]}")
     p.is_delta = p.is_delta or is_delta_hdr
     br.align()
-    p.d_words = _padded(bitpack.bytes_to_words(br.get_bytes(4 * d_total)), "dec_d")
+    d_raw = bitpack.bytes_to_words(br.get_bytes(4 * d_total))
+    p.d_words = d_raw if _banded else _padded(d_raw, "dec_d")
 
     # walk dense-plane geometry (device-side densify, bitpack.
     # dense_words_device): Wmax bucketed + promoted so sub-blocks share one
@@ -848,18 +855,27 @@ def _unpack_i16_words(words: jnp.ndarray, T: int, V: int) -> jnp.ndarray:
 def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
     """Fuse every decode-side upload into ONE uint32 buffer (the relay/PCIe
     path pays per-transfer latency; VERDICT r2 next #1): real record count,
-    substream tables, the LINEAR packed words (~the compressed payload —
-    densified on device by bitpack.dense_words_device instead of shipping
-    the padded (Wmax, Sp) plane), per-record lengths only when actually
-    variable (uint16 pairs; uniform lengths regenerate from static Lt),
-    decode LUTs as canonical run words (expand_lut_runs; ~30x smaller than
-    the int16 planes), and the packed-output alphabet. Returns
-    (blob, q_k, d_k, n_q_trees) — *_k: runs per tree (0 = full-plane
+    substream tables, the packed words, per-record lengths only when
+    actually variable (uint16 pairs; uniform lengths regenerate from static
+    Lt), decode LUTs as canonical run words (expand_lut_runs; ~30x smaller
+    than the int16 planes), and the packed-output alphabet.
+
+    Word layout follows bitpack.DENSIFY:
+      - "banded" (default): words ship group-banded (bitpack.banded_words_np)
+        after the tables, so the device plane build is pure slices — no
+        sorts (VERDICT r3 next #1). The whole blob is bucketed at 4K-word
+        granularity (ONE bucket key instead of per-stream 16K pads — the
+        decompress-H2D diet of VERDICT r3 next #3).
+      - otherwise: the LINEAR per-stream buffers right after the substream
+        tables (densified on device by bitpack.dense_words, r3 layout).
+    Returns (blob, q_k, d_k, n_q_trees) — *_k: runs per tree (0 = full-plane
     fallback; d_k < 0 = plain DNA, no table)."""
     V = 1 << cfg.max_code_len
+    banded = bitpack.DENSIFY == "banded"
     pieces = [np.array([p.R], np.uint32),
-              p.q_sub.astype(np.uint32), p.d_sub.astype(np.uint32),
-              p.q_words, p.d_words]
+              p.q_sub.astype(np.uint32), p.d_sub.astype(np.uint32)]
+    if not banded:
+        pieces += [p.q_words, p.d_words]
     if p.variable:
         l = p.lens_pad.astype(np.uint32)
         if l.shape[0] % 2:
@@ -890,7 +906,22 @@ def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
         a = np.full(32, 0xFFFFFFFF, np.uint32)
         a[: p.out_alpha.shape[0]] = p.out_alpha
         pieces.append(a)
-    return np.concatenate(pieces), q_k, d_k, n_q_trees
+    if banded:
+        pieces.append(bitpack.banded_words_np(p.q_words, p.q_sub))
+        pieces.append(bitpack.banded_words_np(p.d_words, p.d_sub))
+        # end slack: dense_words_banded's per-group (Wmax, group) slices may
+        # overread up to Wmax*group words past the last group start
+        pieces.append(np.zeros(
+            max(p.q_wmax, p.d_wmax) * bitpack.DENSE_GROUP, np.uint32))
+    blob = np.concatenate(pieces)
+    if banded:
+        n = -(-blob.shape[0] // 4096) * 4096
+        if p.buckets is not None:
+            n = p.buckets.pick_words(f"dwalk:{p.Rp}", n)
+        if n > blob.shape[0]:
+            blob = np.concatenate(
+                [blob, np.zeros(n - blob.shape[0], np.uint32)])
+    return blob, q_k, d_k, n_q_trees
 
 
 def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
@@ -1002,25 +1033,28 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
 @functools.partial(jax.jit, static_argnames=(
     "S", "n_q", "n_d", "Rp", "L", "Lt", "G", "variable",
     "q_k", "d_k", "n_q_trees", "lut_bits", "q_wmax", "d_wmax", "sp",
-    "d_plain", "is_delta", "out_w", "q6", "exc_cap", "interpret"))
+    "d_plain", "is_delta", "out_w", "q6", "exc_cap", "banded", "interpret"))
 def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
                        q_k, d_k, n_q_trees, lut_bits, q_wmax, d_wmax, sp,
                        d_plain, is_delta, out_w, q6, exc_cap=0,
-                       interpret=False):
+                       banded=False, interpret=False):
     """Whole per-sub-block pallas-walk decode graph over ONE fused H2D blob
     (_walk_blob_np's exact layout; every slice size is a bucketed static so
-    sub-blocks share this executable). The blob carries the LINEAR packed
-    words — dense_words_device densifies them on device, so the upload is
-    ~the compressed payload instead of the padded (Wmax, Sp) plane (VERDICT
-    r2 next #1) — plus run-compressed LUTs (expand_lut_runs) and, only when
-    actually variable, packed per-record lengths. Reference decode side this
-    replaces: tasks.cpp:957-1101."""
+    sub-blocks share this executable). banded=True (default wire layout):
+    the words arrive group-banded and the walk planes are built by
+    dense_words_banded — pure contiguous slices, no sorts (VERDICT r3 next
+    #1; the r3 two-sort densify measured 200 MB/s device decode vs ~1 GB/s
+    walk-only). banded=False: the r3 linear layout + dense_words. Plus
+    run-compressed LUTs (expand_lut_runs) and, only when actually variable,
+    packed per-record lengths. Reference decode side this replaces:
+    tasks.cpp:957-1101."""
     V = 1 << lut_bits
     off = 1
     q_sub = blob[off : off + S].astype(jnp.int32); off += S
     d_sub = blob[off : off + S].astype(jnp.int32); off += S
-    q_words = blob[off : off + n_q]; off += n_q
-    d_words = blob[off : off + n_d]; off += n_d
+    if not banded:
+        q_words = blob[off : off + n_q]; off += n_q
+        d_words = blob[off : off + n_d]; off += n_d
     if variable:
         n_lw = (Rp + 1) // 2
         lw = blob[off : off + n_lw]; off += n_lw
@@ -1047,10 +1081,22 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
         d_luts = _unpack_i16_words(blob[off : off + V // 2], 1, V)
         off += V // 2
 
-    q_dense = bitpack.dense_words(q_words, q_sub, q_wmax, sp,
-                                  interpret=interpret)
-    d_dense = bitpack.dense_words(d_words, d_sub, d_wmax, sp,
-                                  interpret=interpret)
+    if banded:
+        # alpha (when present) sits before the words in the banded layout so
+        # every piece except the words has a static offset
+        alpha_off = off
+        if out_w and not is_delta:
+            off += 32
+        q_dense = bitpack.dense_words_banded(
+            blob, jnp.int32(off), q_sub, q_wmax, sp)
+        d_dense = bitpack.dense_words_banded(
+            blob, jnp.int32(off) + bitpack.banded_total(q_sub, sp),
+            d_sub, d_wmax, sp)
+    else:
+        q_dense = bitpack.dense_words(q_words, q_sub, q_wmax, sp,
+                                      interpret=interpret)
+        d_dense = bitpack.dense_words(d_words, d_sub, d_wmax, sp,
+                                      interpret=interpret)
     if variable:
         qual_t = quality.decode_device_walk_masked(
             q_dense, lens, q_luts, L, G, lut_bits, interpret=interpret)
@@ -1068,7 +1114,8 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
     if out_w and not is_delta:
         # 32-slot restored alphabet → 256-entry index table; sentinel words
         # (0xFFFFFFFF → -1 as int32) drop out of the scatter
-        alpha = blob[off : off + 32].astype(jnp.int32)
+        a_off = alpha_off if banded else off
+        alpha = blob[a_off : a_off + 32].astype(jnp.int32)
         out_tab = jnp.zeros(256, jnp.int32).at[alpha].set(
             jnp.arange(32, dtype=jnp.int32), mode="drop")
     return _decode_tail(qual_t, lens, dna_syms, out_tab,
@@ -1099,10 +1146,15 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
                else _out_exc_cap(p.Rp, p.L, p.out_alpha.shape[0]))
     if p.use_walk:
         q_k, d_k, n_q_trees = dev["walk_meta"]
+        banded = bitpack.DENSIFY == "banded"
         return _decode_walk_fused(
             dev["blob"],
-            S=p.q_sub.shape[0], n_q=p.q_words.shape[0],
-            n_d=p.d_words.shape[0], Rp=p.Rp, L=p.L,
+            S=p.q_sub.shape[0],
+            # banded mode slices the words at computed offsets — the tight
+            # per-stream lengths must not key executables
+            n_q=0 if banded else p.q_words.shape[0],
+            n_d=0 if banded else p.d_words.shape[0],
+            banded=banded, Rp=p.Rp, L=p.L,
             # Lt only keys the uniform walk's step count; pin it when the
             # masked (variable) walk is taken so raw read lengths don't key
             # extra executables

@@ -298,6 +298,64 @@ def test_dense_words_device_matches_np():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_banded_words_plane_matches_valid_cells():
+    """banded_words_np + dense_words_banded == dense_words_np on every valid
+    cell (w < sub[s]); padding cells may hold neighboring words (never read
+    by the walks). Exercises a nonzero words_off and end-slack overread."""
+    rng = np.random.default_rng(41)
+    g = bitpack.DENSE_GROUP
+    for S in (1, 7, 64, 200):
+        sub = rng.integers(0, 60, size=S).astype(np.int32)
+        total = int(sub.sum())
+        words = rng.integers(0, 1 << 32, size=total, dtype=np.uint64
+                             ).astype(np.uint32)
+        ref = bitpack.dense_words_np(words, sub)
+        Wmax, Sp = ref.shape
+        banded = bitpack.banded_words_np(words, sub)
+        prefix = rng.integers(0, 1 << 32, size=37, dtype=np.uint64
+                              ).astype(np.uint32)  # unrelated header words
+        blob = np.concatenate([prefix, banded,
+                               np.zeros(Wmax * g, np.uint32)])
+        got = np.asarray(bitpack.dense_words_banded(
+            jnp.asarray(blob), jnp.int32(prefix.shape[0]),
+            jnp.asarray(sub), Wmax, Sp))
+        sub_pad = np.zeros(Sp, np.int32)
+        sub_pad[:S] = sub
+        valid = np.arange(Wmax)[:, None] < sub_pad[None, :]
+        np.testing.assert_array_equal(got[valid], ref[valid])
+        # device banded_total mirrors the host image length
+        assert int(bitpack.banded_total(jnp.asarray(sub), Sp)) \
+            == banded.shape[0]
+
+
+def test_banded_padding_overhead_small():
+    """The banded image's padding cost on near-uniform lanes (the real
+    stream shape: adjacent substreams = adjacent records) stays within a
+    few percent — the property that makes the wire layout a win."""
+    rng = np.random.default_rng(43)
+    sub = (90 + rng.integers(-3, 4, size=512)).astype(np.int32)
+    total = int(sub.sum())
+    banded = bitpack.banded_words_np(
+        np.zeros(total, np.uint32), sub)
+    assert banded.shape[0] <= total * 1.05
+
+
+def test_sorts_densify_roundtrip(monkeypatch):
+    """The linear-layout sorts densify (bitpack.DENSIFY='sorts') stays a
+    working A/B alternative behind the banded default."""
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    monkeypatch.setattr(bitpack, "DENSIFY", "sorts")
+    from phyngsc_tpu.config import CodecConfig
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+    from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+    cfg = CodecConfig(records_per_substream=4)
+    data = synthesize_fastq(400, read_len=36, seed=19, ambiguity_rate=0.01)
+    blob = compress_bytes(data, cfg)
+    assert decompress_bytes(blob, cfg) == data
+
+
 def test_dense_words_pallas_matches_valid_cells():
     # the DMA-copy densify matches the sort densify on every valid cell
     # (w < sub[s]); padding cells deliberately hold neighboring words
