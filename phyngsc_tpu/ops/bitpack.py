@@ -1009,6 +1009,86 @@ def lut_runs_np(luts: np.ndarray, max_runs: int = 256) -> "np.ndarray | None":
     return out
 
 
+def lut_runs_from_lens(lens2d: np.ndarray, singletons: np.ndarray,
+                       lut_bits: int, max_runs: int = 256
+                       ) -> "np.ndarray | None":
+    """Run words straight from canonical code LENGTHS — no (T, V) plane
+    materialization (the plane build + diff scan were the decode host
+    parse's second-largest cost; VERDICT r3 next #4).
+
+    A full-width canonical LUT is piecewise constant with one run per
+    present symbol, in canonical (len, sym) order, starting at
+    code << (lut_bits - len); coverage is contiguous from 0, with a single
+    trailing zero-entry gap iff the Kraft sum is incomplete. Bit-identical
+    to lut_runs_np(decode_lut planes) for every well-formed table
+    (tests/test_lookup.py); returns None when any tree exceeds max_runs or
+    an entry/start does not fit 16 bits (caller ships full planes)."""
+    from phyngsc_tpu.ops import huffman as _huffman
+
+    lens2d = np.asarray(lens2d, dtype=np.int64)
+    T, A = lens2d.shape
+    if T == 0:
+        return np.zeros((0, 1), np.uint32)
+    if (1 << lut_bits) > (1 << 16) or lut_bits == 0:
+        return None
+    if int(lens2d.max(initial=0)) > lut_bits:
+        raise ValueError("lut_bits smaller than max code length")
+    sing = (np.asarray(singletons, np.int64) if singletons is not None
+            else np.full(T, -1, np.int64))
+    present = lens2d > 0
+    npres = present.sum(axis=1)
+    K = int(npres.max(initial=0))
+    if K > max_runs:
+        return None
+    codes = _huffman.canonical_codes(lens2d).astype(np.int64)
+    # canonical order per row: (len, sym), absent pushed past the end
+    key = np.where(present, lens2d * (A + 1) + np.arange(A)[None, :],
+                   np.int64(1) << 40)
+    order = np.argsort(key, axis=1, kind="stable")          # (T, A)
+    slens = np.take_along_axis(lens2d, order, axis=1)
+    scodes = np.take_along_axis(codes, order, axis=1)
+    starts = scodes << (lut_bits - np.maximum(slens, 1))
+    entries = (slens << 9) | order
+    # entry must fit 16 bits: (len << 9) | sym needs sym < 512 and len < 128
+    if A > 512 or int(lens2d.max(initial=0)) >= (1 << 7):
+        return None
+    Kb = 8
+    while Kb < max(K, 1):
+        Kb <<= 1
+    out = np.full((T, Kb), _RUN_SENTINEL, np.uint32)
+    k = min(Kb, A)
+    col = np.arange(k)[None, :]
+    m = col < npres[:, None]
+    # out-of-range starts (corrupt over-full tables) exceed lut_bits and
+    # drop in expand_lut_runs exactly as decode_lut's empty slices would
+    ok = m & (starts[:, :k] < (1 << lut_bits))
+    out[:, :k][ok] = ((starts[:, :k][ok].astype(np.uint32) << np.uint32(16))
+                      | entries[:, :k][ok].astype(np.uint32))
+    # zero-bit singleton rows: one run of (0 << 9) | sym covering everything
+    srow = sing >= 0
+    if srow.any():
+        out[srow] = _RUN_SENTINEL
+        out[srow, 0] = sing[srow].astype(np.uint32)
+    # empty rows: one all-zero run (matches the all-zero plane)
+    erow = (npres == 0) & ~srow
+    if erow.any():
+        out[erow, 0] = 0
+    # incomplete-Kraft rows (possible only in corrupt containers —
+    # package-merge always sums to 1): trailing zero-entry run
+    kraft_end = np.where(present, (1 << lut_bits) >> lens2d, 0).sum(axis=1)
+    gap = (~srow) & (npres > 0) & (kraft_end < (1 << lut_bits))
+    if gap.any():
+        if K + 1 > max_runs:
+            return None
+        if K + 1 > Kb:
+            out = np.concatenate(
+                [out, np.full((T, Kb), _RUN_SENTINEL, np.uint32)], axis=1)
+        out[gap, npres[gap]] = (
+            np.minimum(kraft_end[gap], (1 << 16) - 1).astype(np.uint32)
+            << np.uint32(16))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("V",))
 def expand_lut_runs(runs: jnp.ndarray, V: int) -> jnp.ndarray:
     """Device inverse of lut_runs_np: (T, K) run words → (T, V) int32 LUT

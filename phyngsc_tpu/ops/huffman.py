@@ -99,33 +99,37 @@ def canonical_codes(lens: np.ndarray) -> np.ndarray:
     """Canonical code values from lengths; MSB-first emission order.
 
     Codes are assigned in (length, symbol) order: shorter codes first,
-    ties broken by symbol id — so lengths alone fully determine the codebook.
-    Vectorized over trailing axis; accepts (A,) or (K, A).
+    ties broken by symbol id — so lengths alone fully determine the
+    codebook. Fully vectorized (rows batched) via the prefix-Kraft
+    identity: the i-th code in canonical order left-aligns at the running
+    Kraft sum of its predecessors, so
+        code_i = (Σ_{j<i} 2^(B - len_j)) >> (B - len_i),  B = max len.
+    Accepts (A,) or (K, A); the per-symbol Python loop this replaces was
+    a measured decode host-parse cost (VERDICT r3 next #4).
     """
-    lens = np.asarray(lens)
-    if lens.ndim == 1:
-        return _canonical_codes_1d(lens)
-    if lens.shape[0] == 0:
-        return np.zeros(lens.shape, dtype=np.uint32)
-    return np.stack([_canonical_codes_1d(l) for l in lens])
+    lens = np.asarray(lens, dtype=np.int64)
+    one_d = lens.ndim == 1
+    l2 = lens[None, :] if one_d else lens
+    T, A = l2.shape
+    codes = np.zeros((T, A), dtype=np.uint32)
+    B = int(l2.max()) if l2.size else 0
+    if T and A and B:
+        present = l2 > 0
+        key = np.where(present, l2 * (A + 1) + np.arange(A)[None, :],
+                       np.int64(1) << 40)
+        order = np.argsort(key, axis=1, kind="stable")
+        slens = np.take_along_axis(l2, order, axis=1)
+        w = np.where(slens > 0, np.int64(1) << (B - slens), 0)
+        prefix = np.cumsum(w, axis=1) - w              # exclusive
+        scodes = prefix >> (B - np.maximum(slens, 1))
+        np.put_along_axis(codes, order,
+                          np.where(slens > 0, scodes, 0).astype(np.uint32),
+                          axis=1)
+    return codes[0] if one_d else codes
 
 
 def _canonical_codes_1d(lens: np.ndarray) -> np.ndarray:
-    lens = np.asarray(lens, dtype=np.int64)
-    max_len = int(lens.max()) if lens.size else 0
-    codes = np.zeros(lens.shape[0], dtype=np.uint32)
-    if max_len == 0:
-        return codes
-    bl_count = np.bincount(lens, minlength=max_len + 1)
-    bl_count[0] = 0
-    next_code = np.zeros(max_len + 2, dtype=np.int64)
-    for l in range(1, max_len + 1):
-        next_code[l] = (next_code[l - 1] + bl_count[l - 1]) << 1
-    for s in np.flatnonzero(lens):  # symbol order within each length
-        l = lens[s]
-        codes[s] = next_code[l]
-        next_code[l] += 1
-    return codes
+    return canonical_codes(np.asarray(lens))
 
 
 def decode_lut(lens: np.ndarray, lut_bits: int, singleton: int = -1):

@@ -91,12 +91,22 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
                 f"writer {w} decoded past its region ({cursor[w]} > {lim}): "
                 "corrupt container")
 
-    for wid, payload in blockmod.iter_subblocks(blocks()):
-        pending.append((wid, sbmod.decode_stage_a(payload, cfg, buckets)))
-        if len(pending) >= max(cfg.pipeline_depth, 1):
+    # host worker pool: title decode (native walk + reassembly — the
+    # dominant decode host stage) runs off the dispatch thread, overlapping
+    # device work of neighboring sub-blocks (numpy + the native runtime
+    # release the GIL); bucket decisions stay on this thread for
+    # deterministic executables (same discipline as the compress driver)
+    import concurrent.futures as cf
+
+    workers = cfg.host_workers or (os.cpu_count() or 2)
+    with cf.ThreadPoolExecutor(max_workers=max(2, workers)) as executor:
+        for wid, payload in blockmod.iter_subblocks(blocks()):
+            pending.append((wid, sbmod.decode_stage_a(
+                payload, cfg, buckets, executor)))
+            if len(pending) >= max(cfg.pipeline_depth, 1):
+                _drain_one()
+        while pending:
             _drain_one()
-    while pending:
-        _drain_one()
 
     if writer_filter is None:
         expect = foot.fastq_size

@@ -602,10 +602,12 @@ class _DStage:
                  "out_meta", "p", "dev", "cfg")
 
 
-def decode_stage_a(data: bytes, cfg: CodecConfig, buckets=None) -> _DStage:
+def decode_stage_a(data: bytes, cfg: CodecConfig, buckets=None,
+                   executor=None) -> _DStage:
     st = _DStage()
     (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob,
-     st.crc, st.out_meta, st.p, st.dev) = _decode_dispatch(data, cfg, buckets)
+     st.crc, st.out_meta, st.p, st.dev) = _decode_dispatch(
+        data, cfg, buckets, executor)
     st.cfg = cfg
     _host_async(st.blob)
     return st
@@ -653,6 +655,8 @@ def decode_stage_b(st: _DStage) -> bytes:
         qual = q.astype(np.uint8).reshape(Rp, L)[: st.R]
     else:
         seq, qual = both[0, : st.R], both[1, : st.R]
+    if st.tlens_np is None:        # title decode ran on a worker thread
+        st.titles_np, st.tlens_np = st.titles_np.result()
     out = _reassemble(st.R, st.lens_np, st.titles_np, st.tlens_np, seq, qual)
     _tick("d.reassemble", t0)
     if st.crc is not None:
@@ -684,7 +688,13 @@ class _DParsed:
                  "use_walk", "q_wmax", "d_wmax", "sp", "buckets")
 
 
-def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
+def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
+                  executor=None) -> _DParsed:
+    """executor: optional ThreadPoolExecutor — the host-heavy title decode
+    (native walk + text reassembly) runs on a worker thread, overlapping
+    the device decode dispatch of this and later sub-blocks; p.titles_np is
+    then a Future that decode_stage_b resolves (mirrors the encode side's
+    stage-A title offload)."""
     p = _DParsed()
     p.buckets = buckets
     sections = []
@@ -720,8 +730,13 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None) -> _DParsed:
     br.align()
     fixed_words = bitpack.bytes_to_words(br.get_bytes(4 * n_fixed))
     char_words = bitpack.bytes_to_words(br.get_bytes(4 * n_char))
-    p.titles_np, p.tlens_np = title.decode(
-        t_plan, fixed_words, char_words, t_sub, R, cfg)
+    if executor is not None and R:
+        p.titles_np = executor.submit(
+            title.decode, t_plan, fixed_words, char_words, t_sub, R, cfg)
+        p.tlens_np = None
+    else:
+        p.titles_np, p.tlens_np = title.decode(
+            t_plan, fixed_words, char_words, t_sub, R, cfg)
 
     # quality (before DNA — carries the ambiguity transfer)
     br = BitReader(quality_sec)
@@ -881,27 +896,37 @@ def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
         if l.shape[0] % 2:
             l = np.append(l, np.uint32(0))
         pieces.append((l[0::2] << np.uint32(16)) | l[1::2])
-    q_lut = p.q_tables.luts(cfg.max_code_len)
-    n_q_trees = max(q_lut.shape[0], 1)
-    if q_lut.shape[0] == 0:
-        q_lut = np.zeros((1, V), np.int32)
-    q_runs = bitpack.lut_runs_np(q_lut)
+    # run words straight from the code LENGTHS — no (T, V) plane
+    # materialization on the common path (was the second-largest host-parse
+    # cost); the expanded planes are only built for the rare full-plane
+    # fallback
+    n_q_trees = max(p.q_tables.n_trees, 1)
+    if p.q_tables.n_trees:
+        q_runs = bitpack.lut_runs_from_lens(
+            p.q_tables.lens, p.q_tables.singletons, cfg.max_code_len)
+    else:
+        q_runs = np.zeros((1, 8), np.uint32)
+        q_runs[:, 1:] = bitpack._RUN_SENTINEL
     if q_runs is not None:
         q_k = q_runs.shape[1]
         pieces.append(q_runs.reshape(-1))
     else:
         q_k = 0
+        q_lut = p.q_tables.luts(cfg.max_code_len)
+        if q_lut.shape[0] == 0:
+            q_lut = np.zeros((1, V), np.int32)
         pieces.append(_pack_i16_words(q_lut))
     d_k = -1
     if p.d_plan.mode != dna.MODE_PLAIN:
-        d_lut = p.d_plan.luts(cfg.max_code_len)
-        d_runs = bitpack.lut_runs_np(d_lut)
+        d_runs = bitpack.lut_runs_from_lens(
+            p.d_plan.lens_tab[None, :],
+            np.array([p.d_plan.singleton], np.int64), cfg.max_code_len)
         if d_runs is not None:
             d_k = d_runs.shape[1]
             pieces.append(d_runs.reshape(-1))
         else:
             d_k = 0
-            pieces.append(_pack_i16_words(d_lut))
+            pieces.append(_pack_i16_words(p.d_plan.luts(cfg.max_code_len)))
     if p.out_alpha is not None and not p.is_delta:
         a = np.full(32, 0xFFFFFFFF, np.uint32)
         a[: p.out_alpha.shape[0]] = p.out_alpha
@@ -1194,11 +1219,12 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
     )
 
 
-def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None):
+def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None,
+                     executor=None):
     import time as _t
 
     t0 = _t.perf_counter()
-    p = _decode_parse(data, cfg, buckets)
+    p = _decode_parse(data, cfg, buckets, executor)
     t0 = _tick("d.parse", t0)
     dev = _decode_device_inputs(p, cfg)
     blob = _decode_device(p, dev, cfg)

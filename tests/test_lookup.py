@@ -376,6 +376,70 @@ def test_dense_words_pallas_matches_valid_cells():
     np.testing.assert_array_equal(got[valid], ref[valid])
 
 
+def test_lut_runs_from_lens_matches_planes():
+    """lut_runs_from_lens == lut_runs_np over materialized decode planes for
+    normal, singleton, and empty trees (the plane-free fast path must be
+    bit-identical to what the device expands)."""
+    rng = np.random.default_rng(53)
+    for bits in (8, 12):
+        lens_rows, sing_rows = [], []
+        for k in range(12):
+            f = np.zeros(256, np.int64)
+            n = int(rng.integers(0, 80))
+            if k == 0:
+                pass                      # empty tree
+            elif k == 1:
+                f[int(rng.integers(0, 256))] = 5   # singleton
+            else:
+                idx = rng.choice(256, size=max(n, 2), replace=False)
+                f[idx] = np.maximum(rng.zipf(1.5, size=max(n, 2)), 1)
+            lens_rows.append(huffman.build_code_lengths(f, bits))
+            sing_rows.append(huffman.singleton_of(f))
+        lens = np.stack(lens_rows)
+        sing = np.array(sing_rows, np.int64)
+        sym, ln = huffman.decode_lut_batch(lens, bits, sing)
+        planes = ((ln.astype(np.int32) << 9) | sym.astype(np.int32))
+        want = bitpack.lut_runs_np(planes)
+        got = bitpack.lut_runs_from_lens(lens, sing, bits)
+        assert got is not None and want is not None
+        # pad to a common width (Kb rounding may differ)
+        kb = max(got.shape[1], want.shape[1])
+        def _pad(a):
+            out = np.full((a.shape[0], kb), bitpack._RUN_SENTINEL, np.uint32)
+            out[:, : a.shape[1]] = a
+            return out
+        np.testing.assert_array_equal(_pad(got), _pad(want))
+        # and both expand to the exact planes
+        V = 1 << bits
+        np.testing.assert_array_equal(
+            np.asarray(bitpack.expand_lut_runs(jnp.asarray(got), V)), planes)
+
+
+def test_canonical_codes_batch_matches_prefix_property():
+    """Vectorized canonical_codes: prefix-free, ordered by (len, sym), and
+    identical across 1-D and batched calls."""
+    rng = np.random.default_rng(59)
+    rows = []
+    for _ in range(8):
+        f = np.zeros(256, np.int64)
+        idx = rng.choice(256, size=40, replace=False)
+        f[idx] = np.maximum(rng.zipf(1.4, size=40), 1)
+        rows.append(huffman.build_code_lengths(f, 12))
+    lens = np.stack(rows)
+    codes = huffman.canonical_codes(lens)
+    for t in range(lens.shape[0]):
+        np.testing.assert_array_equal(codes[t],
+                                      huffman.canonical_codes(lens[t]))
+        present = np.flatnonzero(lens[t])
+        # left-aligned codes strictly increase in (len, sym) order and
+        # consecutive codes of one length differ by 1
+        order = sorted(present, key=lambda s: (lens[t][s], s))
+        la = [int(codes[t][s]) << (16 - int(lens[t][s])) for s in order]
+        assert all(a < b for a, b in zip(la, la[1:]))
+        kraft = sum(1 << (12 - int(lens[t][s])) for s in present)
+        assert kraft == 1 << 12
+
+
 def test_lut_runs_roundtrip():
     rng = np.random.default_rng(37)
     lens = huffman.build_code_lengths_batch(
