@@ -72,14 +72,19 @@ def _resolve_variant() -> str:
 #: explicit; A/B experiments must set PHYNGSC_LOOKUP before importing, or
 #: assign lookup.VARIANT before the first trace):
 #:
-#: - "auto" (default): pallas for L >= 64, else bf16x2 — measured crossover
-#:   on v5e (L=36: bf16x2 2.56 ms vs pallas 3.49; L=80: 11.98 vs 7.04)
+#: - "auto" (default): f32 — ONE one-hot dot (fused entries < 2^16, exact
+#:   in f32 well below its 2^24 integer range). Measured r4 on v5e at
+#:   (65536, 36): A=64 f32 0.204 ms vs bf16x2 0.541 vs int8 0.390;
+#:   A=256 f32 3.3 ms ~ pallas 3.1. Also the current Mosaic toolchain
+#:   REJECTS the pallas kernel at A=64 (remote-compile 500; it still
+#:   builds at A=256), so auto must not route through it.
 #: - "bf16x2": batched one-hot, two bf16 dots (lo/hi 8-bit planes)
-#: - "f32":    batched one-hot, ONE f32 dot (entries < 2^16 exact in f32)
+#: - "f32":    batched one-hot, ONE f32 dot
 #: - "int8":   batched one-hot, ONE int8 dot, 3 planes (6/6/4 bits)
 #: - "flat":   flat (R*L, A) @ (A, 2L) bf16 dot — proper MXU N-dim — then a
 #:             fused diagonal mask-reduce picks column p for row (r, p)
-#: - "pallas": VMEM-resident one-hot int8 kernel (fused_lookup_pallas below)
+#: - "pallas": VMEM-resident one-hot int8 kernel (fused_lookup_pallas below;
+#:   opt-in only while Mosaic rejects A=64)
 #: All variants are bit-exact (verified in tests against the gather path).
 VARIANT = _resolve_variant()
 
@@ -100,7 +105,7 @@ def fused_lookup(symbols: jnp.ndarray, fused_tab: jnp.ndarray,
         return fused_tab[pos, symbols.astype(jnp.int32)]
     variant = VARIANT
     if variant == "auto":
-        variant = "pallas" if L >= 64 else "bf16x2"
+        variant = "f32"
 
     if variant == "pallas":
         return fused_lookup_pallas(symbols, fused_tab)
