@@ -52,6 +52,12 @@ class CodecConfig:
     #: section and verify it on decode (the reference reserved CRC hooks but
     #: compiled them out, defs.h:35-46).
     checksum: bool = True
+    #: Decode-side compatibility switch, set by the decompress driver from
+    #: the container footer version: v1-v3 map every quality position
+    #: >= MAX_TREES to the last tree; v4+ groups adjacent positions
+    #: proportionally (quality.tree_of_position). Identical for reads
+    #: <= 256 bp. Never set this for encoding — writers always emit v4.
+    legacy_tail_trees: bool = False
 
     # --- parallelism --------------------------------------------------------
     #: Name of the record (data-parallel) mesh axis.

@@ -22,10 +22,14 @@ from phyngsc_tpu.utils.bitio import BitReader, BitWriter, bit_length
 
 MAGIC = b"NGST"
 #: v2 added the optional per-sub-block crc32 (FLAG_CRC in the meta section);
-#: v3 added char-field block-constancy (title header n_trees==0xFFFF escape).
-#: v1/v2 containers never use either, so one reader handles all three, but
-#: older readers must refuse newer files rather than misparse them.
-VERSION = 3
+#: v3 added char-field block-constancy (title header n_trees==0xFFFF escape);
+#: v4 changed the long-read quality tree mapping — positions group
+#: proportionally onto <= 256 trees (quality.tree_of_position) instead of
+#: every position >= 256 sharing the last tree. v1-v3 files with reads
+#: <= 256 bp decode identically under either rule; longer v3 reads use the
+#: legacy mapping (Footer.version gates it). Older readers must refuse
+#: newer files rather than misparse them.
+VERSION = 4
 MIN_VERSION = 1
 
 
@@ -40,6 +44,7 @@ class Footer:
     cbo: List[int]                  # writer id per block, file order
     records_per_substream: int
     max_code_len: int
+    version: int = VERSION          # as read from the file (write: VERSION)
 
     @property
     def n_blocks(self) -> int:
@@ -125,6 +130,7 @@ def read_footer(tail: bytes) -> Footer:
         overlaps=overlaps, writer_block_counts=counts,
         last_block_sizes=last_sizes, cbo=cbo,
         records_per_substream=g, max_code_len=max_code_len,
+        version=version,
     )
 
 

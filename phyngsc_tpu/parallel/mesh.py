@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.models import dna as dmod
 from phyngsc_tpu.models import quality as qmod
-from phyngsc_tpu.ops import histogram
+from phyngsc_tpu.ops import bitpack, histogram
 
 
 def make_mesh(n_data: int, n_seq: int = 1,
@@ -126,6 +126,7 @@ class ShardedSubblockCodec:
         ))
 
         self._encode_cache = {}
+        self._decode_cache = {}
 
     def analyze(self, seq, qual, lens):
         return self._analyze(seq, qual, lens)
@@ -153,6 +154,107 @@ class ShardedSubblockCodec:
         ))
         self._encode_cache[key] = fn
         return fn
+
+    # -- decode ------------------------------------------------------------
+
+    def can_decode(self, S: int, Rp: int, G: int) -> bool:
+        """Sharded decode requires shard boundaries on substream-group
+        boundaries: lanes split evenly with whole DENSE_GROUP groups per
+        shard (the banded wire image then splits at host-known offsets)."""
+        n = self.n_data
+        return (S % n == 0 and (S // n) % bitpack.DENSE_GROUP == 0
+                and Rp % (n * G) == 0)
+
+    def shard_banded_np(self, banded: np.ndarray, sub: np.ndarray,
+                        Wmax: int):
+        """Split a banded wire image (bitpack.banded_words_np) into one
+        padded row per data shard: (n_data, W) where row k holds shard k's
+        groups plus Wmax*DENSE_GROUP end slack for the in-shard plane
+        build's overread."""
+        g = bitpack.DENSE_GROUP
+        sub = np.asarray(sub, np.int64)
+        S = sub.shape[0]
+        n = self.n_data
+        Wg = sub.reshape(S // g, g).max(axis=1)
+        gw = Wg * g
+        per_shard = S // n // g                       # groups per shard
+        bounds = np.concatenate(
+            [[0], np.cumsum(gw.reshape(n, per_shard).sum(axis=1))])
+        widths = np.diff(bounds)
+        W = int(widths.max(initial=0)) + Wmax * g
+        out = np.zeros((n, W), np.uint32)
+        for k in range(n):
+            out[k, : widths[k]] = banded[bounds[k] : bounds[k + 1]]
+        return out
+
+    def _walk_decoder(self, *, L, Lt, G, variable, lut_bits, q_wmax, d_wmax,
+                      sp_shard, d_plain, is_delta, legacy, interpret):
+        """Jitted shard_map: the fused walk decode over the data axis.
+
+        Substream ranges are shard-independent by construction and the
+        quality-before-DNA ordering (ambiguity transfer) is per-record, so
+        each shard decodes its record range end-to-end; outputs concatenate
+        along records (VERDICT r3 next #2; reference decode primitives:
+        tasks.cpp:625-1101). Returns (2, Rp, L) uint8 seq/qual planes (the
+        packed-output wire diet stays single-device — multi-chip hosts are
+        PCIe-attached)."""
+        key = (L, Lt, G, variable, lut_bits, q_wmax, d_wmax, sp_shard,
+               d_plain, is_delta, legacy, interpret)
+        fn = self._decode_cache.get(key)
+        if fn is not None:
+            return fn
+        da = self.cfg.data_axis
+
+        def body(q_bw, d_bw, q_sub_s, d_sub_s, lens_s, q_luts, d_luts):
+            zero = jnp.int32(0)
+            q_dense = bitpack.dense_words_banded(
+                q_bw[0], zero, q_sub_s, q_wmax, sp_shard)
+            d_dense = bitpack.dense_words_banded(
+                d_bw[0], zero, d_sub_s, d_wmax, sp_shard)
+            if variable:
+                qual_t = qmod.decode_device_walk_masked(
+                    q_dense, lens_s, q_luts, L, G, lut_bits, legacy=legacy,
+                    interpret=interpret)
+            else:
+                qual_t = qmod.decode_device_walk(
+                    q_dense, lens_s, q_luts, L, Lt, G, lut_bits,
+                    legacy=legacy, interpret=interpret)
+            v = jnp.arange(L, dtype=jnp.int32)[None, :] < lens_s[:, None]
+            keep = (qual_t < 128) & v
+            if d_plain:
+                dna_syms = dmod.decode_plain_walk(
+                    d_dense, keep, L, G, interpret=interpret)
+            else:
+                dna_syms = dmod.decode_huffman_walk(
+                    d_dense, keep, d_luts, L, G, lut_bits,
+                    interpret=interpret)
+            seq, qual = dmod.restore_ambiguity(dna_syms, qual_t, lens_s)
+            if is_delta:
+                seq = dmod.delta_untranslate(seq, lens_s)
+            return jnp.stack([seq, qual])
+
+        fn = jax.jit(shard_map(
+            body, mesh=self.mesh, check_vma=False,
+            in_specs=(P(da, None), P(da, None), P(da), P(da), P(da),
+                      P(), P()),
+            out_specs=P(None, da, None),
+        ))
+        self._decode_cache[key] = fn
+        return fn
+
+    def decode_walk(self, q_bw, d_bw, q_sub, d_sub, lens, q_luts, d_luts,
+                    *, L, Lt, G, variable, lut_bits, q_wmax, d_wmax,
+                    d_plain, is_delta, interpret=False):
+        """Data-sharded fused walk decode; see _walk_decoder. q_bw/d_bw are
+        shard_banded_np rows; d_luts may be a dummy table in plain mode."""
+        S = q_sub.shape[0]
+        sp_shard = max(128, -(-(S // self.n_data) // 128) * 128)
+        fn = self._walk_decoder(
+            L=L, Lt=Lt, G=G, variable=variable, lut_bits=lut_bits,
+            q_wmax=q_wmax, d_wmax=d_wmax, sp_shard=sp_shard,
+            d_plain=d_plain, is_delta=is_delta,
+            legacy=bool(self.cfg.legacy_tail_trees), interpret=interpret)
+        return fn(q_bw, d_bw, q_sub, d_sub, lens, q_luts, d_luts)
 
     def encode(self, qual_t, keep, seq, lens, q_codes, q_lens,
                d_codes, d_lens, G: int, cap_per_shard: int, mode: int,

@@ -50,13 +50,27 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
     (the multi-process driver assigns each process a writer subset; a
     writer's sub-blocks never split across another writer's blocks, so the
     filtered stream stitches identically)."""
+    import dataclasses
+
     cfg = cfg or CodecConfig()
+    legacy_trees = foot.version <= 3
     if (foot.records_per_substream != cfg.records_per_substream
-            or foot.max_code_len != cfg.max_code_len):
-        cfg = CodecConfig(
+            or foot.max_code_len != cfg.max_code_len
+            or cfg.legacy_tail_trees != legacy_trees):
+        # container geometry + version compat win, everything else (shards,
+        # pipeline depth, worker counts) stays the caller's choice
+        cfg = dataclasses.replace(
+            cfg,
             records_per_substream=foot.records_per_substream,
             max_code_len=foot.max_code_len,
+            legacy_tail_trees=legacy_trees,
         )
+    codec = None
+    if cfg.data_shards > 1:
+        from phyngsc_tpu.parallel.mesh import ShardedSubblockCodec, make_mesh
+
+        codec = ShardedSubblockCodec(make_mesh(cfg.data_shards, 1, cfg=cfg),
+                                     cfg)
     sizes = foot.block_sizes_in_file_order()
     starts = writer_output_starts(foot)
     cursor = list(starts)  # next output offset per writer
@@ -102,7 +116,7 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
     with cf.ThreadPoolExecutor(max_workers=max(2, workers)) as executor:
         for wid, payload in blockmod.iter_subblocks(blocks()):
             pending.append((wid, sbmod.decode_stage_a(
-                payload, cfg, buckets, executor)))
+                payload, cfg, buckets, executor, codec)))
             if len(pending) >= max(cfg.pipeline_depth, 1):
                 _drain_one()
         while pending:

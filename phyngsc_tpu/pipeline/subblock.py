@@ -319,18 +319,22 @@ def _pack_out(seq, qual, idx_tab, lens, w, q6, exc_cap=0):
         n = seq.shape[0] * L
         flat = seq.reshape(-1).astype(jnp.int32)
         is_acgt = ((flat == 65) | (flat == 67) | (flat == 71) | (flat == 84))
-        code = jnp.zeros(256, jnp.uint32).at[
-            jnp.array([65, 67, 71, 84])].set(
-            jnp.arange(4, dtype=jnp.uint32))[flat]
+        # A=0 C=1 G=2 T=3 by compares — a 256-table gather here measured
+        # 27 ms for 2.36M elements (the XLA:TPU serialized-gather trap that
+        # made pack_out the decode graph's dominant stage, 3.5x the walks)
+        code = ((flat == 67) * 1 + (flat == 71) * 2
+                + (flat == 84) * 3).astype(jnp.uint32)
         valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
                  < lens[:, None]).reshape(-1)
         exc = valid & ~is_acgt
-        big = jnp.int32(0x7FFFFFFF)
-        key = jnp.where(exc, jnp.arange(n, dtype=jnp.int32), big)
-        sk, sp = jax.lax.sort((key, flat.astype(jnp.uint32)),
-                              dimension=0, num_keys=1)
-        ew = jnp.where(sk[:exc_cap] == big, jnp.uint32(0xFFFFFFFF),
-                       (sk[:exc_cap].astype(jnp.uint32) << 8) | sp[:exc_cap])
+        # one single-operand u32 sort: (pos << 8 | byte) — pos < 2^24 is
+        # guaranteed by _out_exc_cap, so valid words sort below the all-ones
+        # sentinel and land position-ordered, the exact wire layout the
+        # host expects
+        w32 = jnp.where(
+            exc, (jnp.arange(n, dtype=jnp.uint32) << 8)
+            | flat.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+        ew = jax.lax.sort(w32, dimension=0)[:exc_cap]
         count = jnp.sum(exc).astype(jnp.uint32)[None]
         base2 = jnp.where(exc | ~valid, jnp.uint32(0), code)
         sw = _lane_pack_j(base2, 2)
@@ -603,11 +607,11 @@ class _DStage:
 
 
 def decode_stage_a(data: bytes, cfg: CodecConfig, buckets=None,
-                   executor=None) -> _DStage:
+                   executor=None, codec=None) -> _DStage:
     st = _DStage()
     (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob,
      st.crc, st.out_meta, st.p, st.dev) = _decode_dispatch(
-        data, cfg, buckets, executor)
+        data, cfg, buckets, executor, codec)
     st.cfg = cfg
     _host_async(st.blob)
     return st
@@ -780,7 +784,10 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
     _walk_env = _os.environ.get("PHYNGSC_WALK", "auto")
     _walk_ok = (_walk_env == "pallas"
                 or (_walk_env == "auto" and jax.default_backend() == "tpu"))
-    p.use_walk = bool(_walk_ok and R)
+    # the walk materializes a (G*L, 2**lut_bits) per-step LUT plane; very
+    # long reads (> ~128 bp at G=64) fall back to the XLA walk rather than
+    # allocate hundreds of MB of HBM for it
+    p.use_walk = bool(_walk_ok and R and G * p.L <= 8192)
     # banded wire layout: words stay TIGHT here (the whole fused blob is
     # bucketed once in _walk_blob_np; per-stream 16K pads would be pure
     # upload waste)
@@ -788,7 +795,7 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
 
     q_raw = bitpack.bytes_to_words(br.get_bytes(4 * q_total))
     p.q_words = q_raw if _banded else _padded(q_raw, "dec_q")
-    p.pplan = (quality.pair_plan(p.q_tables, Lt)
+    p.pplan = (quality.pair_plan(p.q_tables, Lt, cfg.legacy_tail_trees)
                if (not variable and R and not p.use_walk) else None)
 
     br = BitReader(dna_sec)
@@ -949,11 +956,41 @@ def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
     return blob, q_k, d_k, n_q_trees
 
 
-def _decode_device_inputs(p: _DParsed, cfg: CodecConfig) -> dict:
+def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
     """One-time H2D uploads for _decode_device (bench.py hoists this out of
     its device-only timing loop; pair LUT uploads are cached in pair_plan).
     Walk path (TPU): ONE fused blob upload. Legacy paths (CPU pairs/XLA
-    walk): separate arrays."""
+    walk): separate arrays. codec: optional parallel.mesh.
+    ShardedSubblockCodec — the walk decode shards over the data mesh axis
+    (per-shard banded rows; falls back to single-device when shard
+    boundaries don't align with substream groups)."""
+    if (codec is not None and p.use_walk and bitpack.DENSIFY == "banded"
+            and p.R and codec.can_decode(p.q_sub.shape[0], p.Rp, p.G)):
+        V = 1 << cfg.max_code_len
+        q_luts = p.q_tables.luts(cfg.max_code_len)
+        if q_luts.shape[0] == 0:
+            q_luts = np.zeros((1, V), np.int32)
+        d_luts = (p.d_plan.luts(cfg.max_code_len)
+                  if p.d_plan.mode != dna.MODE_PLAIN
+                  else np.zeros((1, V), np.int32))
+        dev = {
+            "mesh": True,
+            "q_bw": jax.device_put(codec.shard_banded_np(
+                bitpack.banded_words_np(p.q_words, p.q_sub),
+                p.q_sub, p.q_wmax)),
+            "d_bw": jax.device_put(codec.shard_banded_np(
+                bitpack.banded_words_np(p.d_words, p.d_sub),
+                p.d_sub, p.d_wmax)),
+            "q_sub": jax.device_put(p.q_sub),
+            "d_sub": jax.device_put(p.d_sub),
+            "lens": jax.device_put(p.lens_pad),
+            "q_luts": jax.device_put(q_luts.astype(np.int32)),
+            "d_luts": jax.device_put(d_luts.astype(np.int32)),
+        }
+        _acct("h2d_bytes", sum(
+            int(np.prod(v.shape)) * v.dtype.itemsize
+            for k, v in dev.items() if k != "mesh"))
+        return dev
     if p.use_walk:
         blob_np, q_k, d_k, n_q_trees = _walk_blob_np(p, cfg)
         _acct("h2d_bytes", blob_np.nbytes)
@@ -1009,12 +1046,12 @@ def _decode_tail(qual_t, lens, dna_syms, out_tab, *, is_delta, out_w, q6,
 @functools.partial(jax.jit, static_argnames=(
     "use_pairs", "d_plain", "is_delta", "out_w",
     "q6", "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len",
-    "exc_cap"))
+    "exc_cap", "legacy"))
 def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
                          luts2, pair_vec, half_vec, q_luts, d_luts, out_tab,
                          *, use_pairs, d_plain, is_delta, out_w, q6,
                          L, Lt, G, pair_bits, lut_bits, uniform_len,
-                         exc_cap=0):
+                         exc_cap=0, legacy=False):
     """Whole per-sub-block decode graph as ONE executable (non-walk paths:
     pair-LUT gathers and the XLA substream walk — the TPU pallas-walk path
     is _decode_walk_fused): quality decode → keep mask → DNA decode →
@@ -1040,7 +1077,7 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
     else:
         qual_t = quality.decode_device(
             q_words, q_sub, lens, q_luts, L, G, lut_bits,
-            uniform_len=uniform_len)
+            uniform_len=uniform_len, legacy=legacy)
 
     # dna — the keep mask stays on device (quality >= 128 marks transferred
     # positions)
@@ -1058,11 +1095,12 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
 @functools.partial(jax.jit, static_argnames=(
     "S", "n_q", "n_d", "Rp", "L", "Lt", "G", "variable",
     "q_k", "d_k", "n_q_trees", "lut_bits", "q_wmax", "d_wmax", "sp",
-    "d_plain", "is_delta", "out_w", "q6", "exc_cap", "banded", "interpret"))
+    "d_plain", "is_delta", "out_w", "q6", "exc_cap", "banded", "legacy",
+    "interpret"))
 def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
                        q_k, d_k, n_q_trees, lut_bits, q_wmax, d_wmax, sp,
                        d_plain, is_delta, out_w, q6, exc_cap=0,
-                       banded=False, interpret=False):
+                       banded=False, legacy=False, interpret=False):
     """Whole per-sub-block pallas-walk decode graph over ONE fused H2D blob
     (_walk_blob_np's exact layout; every slice size is a bucketed static so
     sub-blocks share this executable). banded=True (default wire layout):
@@ -1124,10 +1162,12 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
                                       interpret=interpret)
     if variable:
         qual_t = quality.decode_device_walk_masked(
-            q_dense, lens, q_luts, L, G, lut_bits, interpret=interpret)
+            q_dense, lens, q_luts, L, G, lut_bits, legacy=legacy,
+            interpret=interpret)
     else:
         qual_t = quality.decode_device_walk(
-            q_dense, lens, q_luts, L, Lt, G, lut_bits, interpret=interpret)
+            q_dense, lens, q_luts, L, Lt, G, lut_bits, legacy=legacy,
+            interpret=interpret)
     keep = _keep_from_quality(qual_t, lens)
     if d_plain:
         dna_syms = dna.decode_plain_walk(d_dense, keep, L, G,
@@ -1161,10 +1201,20 @@ def _out_exc_cap(Rp: int, L: int, n_alpha: int) -> int:
 
 
 def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
-                   force_plain_out: bool = False):
+                   force_plain_out: bool = False, codec=None):
     """Dispatch the fused decode executable; returns the blob pending one
     fetch. force_plain_out disables the exception-packed seq fetch (the
     overflow refetch path, decode_stage_b)."""
+    if dev.get("mesh"):
+        return codec.decode_walk(
+            dev["q_bw"], dev["d_bw"], dev["q_sub"], dev["d_sub"],
+            dev["lens"], dev["q_luts"], dev["d_luts"],
+            L=p.L, Lt=0 if p.variable else p.Lt, G=p.G,
+            variable=p.variable, lut_bits=cfg.max_code_len,
+            q_wmax=p.q_wmax, d_wmax=p.d_wmax,
+            d_plain=p.d_plan.mode == dna.MODE_PLAIN,
+            is_delta=bool(p.is_delta),
+            interpret=jax.default_backend() != "tpu")
     pack = p.out_alpha is not None and not p.is_delta
     out_w = _out_width(p.out_alpha.shape[0]) if pack else 0
     exc_cap = (0 if (not pack or force_plain_out)
@@ -1191,6 +1241,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
             d_plain=p.d_plan.mode == dna.MODE_PLAIN,
             is_delta=bool(p.is_delta), out_w=out_w, q6=bool(p.q6),
             exc_cap=exc_cap,
+            legacy=bool(cfg.legacy_tail_trees),
             interpret=jax.default_backend() != "tpu",
         )
     use_pairs = p.pplan is not None
@@ -1206,6 +1257,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
         out_w=out_w,
         q6=bool(p.q6),
         exc_cap=exc_cap,
+        legacy=bool(cfg.legacy_tail_trees),
         # statics unused by the taken branch are pinned to 0 so they don't
         # key extra executables (e.g. per-raw-read-length Lt when the pair
         # path is off — the cold-start budget counts executables)
@@ -1220,16 +1272,18 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
 
 
 def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None,
-                     executor=None):
+                     executor=None, codec=None):
     import time as _t
 
     t0 = _t.perf_counter()
     p = _decode_parse(data, cfg, buckets, executor)
     t0 = _tick("d.parse", t0)
-    dev = _decode_device_inputs(p, cfg)
-    blob = _decode_device(p, dev, cfg)
+    dev = _decode_device_inputs(p, cfg, codec)
+    blob = _decode_device(p, dev, cfg, codec=codec)
     _tick("d.device_dispatch", t0)
-    pack = p.out_alpha is not None and not p.is_delta
+    # the mesh decode returns raw (2, Rp, L) planes, never the packed fetch
+    pack = (p.out_alpha is not None and not p.is_delta
+            and not dev.get("mesh"))
     out_meta = ((p.out_alpha, p.q6, p.Rp, p.L,
                  _out_exc_cap(p.Rp, p.L, p.out_alpha.shape[0]))
                 if pack else None)

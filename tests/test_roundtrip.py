@@ -97,6 +97,36 @@ def test_mesh_sharded_encode_roundtrip():
     assert back == data
 
 
+def test_mesh_sharded_decode_roundtrip(monkeypatch):
+    """Multi-chip decode (VERDICT r3 next #2): the fused walk decode sharded
+    over a 4-device data mesh — per-shard banded rows, shard-local
+    quality-before-DNA — round-trips byte-exactly, and the mesh path is
+    asserted to actually engage (no silent single-device fallback)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    from phyngsc_tpu.parallel import mesh as meshmod
+
+    calls = []
+    orig = meshmod.ShardedSubblockCodec.decode_walk
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(meshmod.ShardedSubblockCodec, "decode_walk", spy)
+    cfg = CodecConfig(subblock_input_bytes=1 << 30,
+                      records_per_substream=16, data_shards=4)
+    data = synthesize_fastq(1200, read_len=36, seed=27, ambiguity_rate=0.01)
+    comp = compress_bytes(data, CodecConfig(subblock_input_bytes=1 << 30,
+                                            records_per_substream=16), 1)
+    back = decompress_bytes(comp, cfg)
+    assert back == data
+    assert calls, "sharded decode did not engage"
+
+
 def test_mesh_sharded_matches_single_chip_format():
     import jax
 
@@ -226,10 +256,10 @@ def test_exception_cap_overflow_refetches_plain(monkeypatch):
     calls = {"plain": 0}
     orig = sbmod._decode_device
 
-    def spy(p, dev, cfg_, force_plain_out=False):
+    def spy(p, dev, cfg_, force_plain_out=False, codec=None):
         if force_plain_out:
             calls["plain"] += 1
-        return orig(p, dev, cfg_, force_plain_out)
+        return orig(p, dev, cfg_, force_plain_out, codec)
 
     monkeypatch.setattr(sbmod, "_decode_device", spy)
     blob = compress_bytes(data, cfg)
