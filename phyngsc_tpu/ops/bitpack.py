@@ -973,136 +973,61 @@ def slot_mask(valid: jnp.ndarray, G: int, Sp: int) -> jnp.ndarray:
     return jnp.pad(m, ((0, 0), (0, Sp - S)))
 
 
-#: run-word sentinel: start 0xFFFF is past any LUT index (lut_bits <= 16)
-_RUN_SENTINEL = np.uint32(0xFFFF0000)
+def pack_lens4_np(lens2d: np.ndarray, singletons: np.ndarray) -> np.ndarray:
+    """Decode-table wire form: (T, 256) code lengths as packed 4-bit
+    nibbles (MSB-first) + per-tree singleton symbols — T*33 uint32 words,
+    ~8x smaller than run words and ~120x smaller than the int16 planes.
+    luts_from_lens_device is the exact device inverse (the planes are a
+    pure function of canonical lengths)."""
+    lens = np.asarray(lens2d, np.uint32)
+    T = lens.shape[0]
+    assert lens.shape[1] == 256 and (lens < 16).all(), \
+        "lens4 wire form requires 256-symbol alphabets and lengths < 16"
+    nib = lens.reshape(T, 32, 8)
+    shifts = (28 - 4 * np.arange(8, dtype=np.uint32))
+    words = (nib << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+    singles = np.asarray(singletons, np.int32).view(np.uint32)
+    return np.concatenate([words.reshape(-1), singles])
 
 
-def lut_runs_np(luts: np.ndarray, max_runs: int = 256) -> "np.ndarray | None":
-    """Compress decode LUTs for upload: (T, V) int32 planes → (T, K) uint32
-    run words (start << 16 | entry). Canonical-code LUTs are piecewise
-    constant with <= alphabet-size runs, so this is ~V/K x smaller than the
-    plane (a (37, 4096) int16 quality LUT set is ~300 KB per sub-block;
-    runs are ~10 KB). Returns None when any tree exceeds max_runs or an
-    entry/index does not fit 16 bits (caller falls back to the full plane).
-    expand_lut_runs is the exact device inverse."""
-    luts = np.asarray(luts)
-    T, V = luts.shape
-    if T == 0:
-        return np.zeros((0, 1), np.uint32)
-    if V > (1 << 16) or (luts.size and
-                         (int(luts.max()) >= (1 << 16) or int(luts.min()) < 0)):
-        return None
-    diff = np.diff(luts, axis=1) != 0
-    nruns = diff.sum(axis=1) + 1
-    K = int(nruns.max())
-    if K > max_runs:
-        return None
-    Kb = 8
-    while Kb < K:
-        Kb <<= 1
-    out = np.full((T, Kb), _RUN_SENTINEL, np.uint32)
-    for t in range(T):
-        starts = np.concatenate([[0], np.flatnonzero(diff[t]) + 1])
-        out[t, : starts.shape[0]] = (
-            (starts.astype(np.uint32) << np.uint32(16))
-            | luts[t, starts].astype(np.uint32))
-    return out
+@functools.partial(jax.jit, static_argnames=("T", "V"))
+def luts_from_lens_device(lens_words: jnp.ndarray, singles: jnp.ndarray,
+                          T: int, V: int) -> jnp.ndarray:
+    """Device inverse of pack_lens4_np: nibble-packed canonical code
+    lengths → (T, V) int32 packed (len << 9 | sym) decode planes,
+    bit-identical to huffman.decode_lut_batch.
 
-
-def lut_runs_from_lens(lens2d: np.ndarray, singletons: np.ndarray,
-                       lut_bits: int, max_runs: int = 256
-                       ) -> "np.ndarray | None":
-    """Run words straight from canonical code LENGTHS — no (T, V) plane
-    materialization (the plane build + diff scan were the decode host
-    parse's second-largest cost; VERDICT r3 next #4).
-
-    A full-width canonical LUT is piecewise constant with one run per
-    present symbol, in canonical (len, sym) order, starting at
-    code << (lut_bits - len); coverage is contiguous from 0, with a single
-    trailing zero-entry gap iff the Kraft sum is incomplete. Bit-identical
-    to lut_runs_np(decode_lut planes) for every well-formed table
-    (tests/test_lookup.py); returns None when any tree exceeds max_runs or
-    an entry/start does not fit 16 bits (caller ships full planes)."""
-    from phyngsc_tpu.ops import huffman as _huffman
-
-    lens2d = np.asarray(lens2d, dtype=np.int64)
-    T, A = lens2d.shape
-    if T == 0:
-        return np.zeros((0, 1), np.uint32)
-    if (1 << lut_bits) > (1 << 16) or lut_bits == 0:
-        return None
-    if int(lens2d.max(initial=0)) > lut_bits:
-        raise ValueError("lut_bits smaller than max code length")
-    sing = (np.asarray(singletons, np.int64) if singletons is not None
-            else np.full(T, -1, np.int64))
-    present = lens2d > 0
-    npres = present.sum(axis=1)
-    K = int(npres.max(initial=0))
-    if K > max_runs:
-        return None
-    codes = _huffman.canonical_codes(lens2d).astype(np.int64)
-    # canonical order per row: (len, sym), absent pushed past the end
-    key = np.where(present, lens2d * (A + 1) + np.arange(A)[None, :],
-                   np.int64(1) << 40)
-    order = np.argsort(key, axis=1, kind="stable")          # (T, A)
-    slens = np.take_along_axis(lens2d, order, axis=1)
-    scodes = np.take_along_axis(codes, order, axis=1)
-    starts = scodes << (lut_bits - np.maximum(slens, 1))
-    entries = (slens << 9) | order
-    # entry must fit 16 bits: (len << 9) | sym needs sym < 512 and len < 128
-    if A > 512 or int(lens2d.max(initial=0)) >= (1 << 7):
-        return None
-    Kb = 8
-    while Kb < max(K, 1):
-        Kb <<= 1
-    out = np.full((T, Kb), _RUN_SENTINEL, np.uint32)
-    k = min(Kb, A)
-    col = np.arange(k)[None, :]
-    m = col < npres[:, None]
-    # out-of-range starts (corrupt over-full tables) exceed lut_bits and
-    # drop in expand_lut_runs exactly as decode_lut's empty slices would
-    ok = m & (starts[:, :k] < (1 << lut_bits))
-    out[:, :k][ok] = ((starts[:, :k][ok].astype(np.uint32) << np.uint32(16))
-                      | entries[:, :k][ok].astype(np.uint32))
-    # zero-bit singleton rows: one run of (0 << 9) | sym covering everything
-    srow = sing >= 0
-    if srow.any():
-        out[srow] = _RUN_SENTINEL
-        out[srow, 0] = sing[srow].astype(np.uint32)
-    # empty rows: one all-zero run (matches the all-zero plane)
-    erow = (npres == 0) & ~srow
-    if erow.any():
-        out[erow, 0] = 0
-    # incomplete-Kraft rows (possible only in corrupt containers —
-    # package-merge always sums to 1): trailing zero-entry run
-    kraft_end = np.where(present, (1 << lut_bits) >> lens2d, 0).sum(axis=1)
-    gap = (~srow) & (npres > 0) & (kraft_end < (1 << lut_bits))
-    if gap.any():
-        if K + 1 > max_runs:
-            return None
-        if K + 1 > Kb:
-            out = np.concatenate(
-                [out, np.full((T, Kb), _RUN_SENTINEL, np.uint32)], axis=1)
-        out[gap, npres[gap]] = (
-            np.minimum(kraft_end[gap], (1 << 16) - 1).astype(np.uint32)
-            << np.uint32(16))
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("V",))
-def expand_lut_runs(runs: jnp.ndarray, V: int) -> jnp.ndarray:
-    """Device inverse of lut_runs_np: (T, K) run words → (T, V) int32 LUT
-    planes. One tiny scatter-add of per-run entry deltas (T*K elements;
-    sentinel starts land out of bounds and drop) + a cumsum over V."""
-    T, K = runs.shape
-    starts = (runs >> jnp.uint32(16)).astype(jnp.int32)   # (T, K)
-    vals = (runs & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    prev = jnp.concatenate([jnp.zeros((T, 1), jnp.int32), vals[:, :-1]], axis=1)
-    delta = vals - prev
-    rows = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, K))
-    grid = jnp.zeros((T, V), jnp.int32).at[rows, starts].add(
-        delta, mode="drop")
-    return jnp.cumsum(grid, axis=1)
+    Canonical codes left-align at the running Kraft sum of their (len, sym)
+    predecessors, so each symbol's LUT run starts exactly at that prefix —
+    one tiny per-row sort + entry-delta scatter + cumsum over V rebuilds
+    the full-width planes from 4 bits/symbol of wire (VERDICT r3 next #3:
+    the run words this replaces were the largest non-payload upload)."""
+    B = (V - 1).bit_length()
+    w = lens_words.reshape(T, 32)
+    sh = (28 - 4 * jnp.arange(8, dtype=jnp.uint32))
+    lens = ((w[:, :, None] >> sh[None, None, :]) & 0xF).reshape(
+        T, 256).astype(jnp.int32)
+    sym = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32)[None, :],
+                           (T, 256))
+    present = lens > 0
+    key = jnp.where(present, lens * 512 + sym, jnp.int32(1) << 20)
+    _, ssym, slens = jax.lax.sort((key, sym, lens), dimension=1, num_keys=1)
+    wk = jnp.where(slens > 0,
+                   jnp.int32(1) << (B - jnp.minimum(slens, B)), 0)
+    start = jnp.cumsum(wk, axis=1) - wk            # = code << (B - len)
+    entry = jnp.where(slens > 0, (slens << 9) | ssym, 0)
+    prev = jnp.concatenate([jnp.zeros((T, 1), jnp.int32), entry[:, :-1]],
+                           axis=1)
+    rows = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                            (T, 256))
+    # absent symbols share start = the Kraft end: V (complete codes) drops;
+    # an incomplete (corrupt) table zero-fills its tail exactly like
+    # decode_lut's unused windows
+    grid = jnp.zeros((T, V), jnp.int32).at[rows, start].add(
+        entry - prev, mode="drop")
+    luts = jnp.cumsum(grid, axis=1)
+    singles = singles.astype(jnp.int32)
+    return jnp.where(singles[:, None] >= 0, singles[:, None], luts)
 
 
 def dense_words_np(words: np.ndarray, sub_n_words: np.ndarray,

@@ -860,100 +860,103 @@ def _lut_i16(lut: np.ndarray) -> np.ndarray:
     return lut.astype(np.int16)
 
 
-def _pack_i16_words(lut: np.ndarray) -> np.ndarray:
-    """(T, V) int32 LUT plane → T*V/2 uint32 words (two 16-bit entries per
-    word, MSB first) for the fused walk blob's full-plane fallback."""
-    f = _lut_i16(lut).astype(np.uint32).reshape(-1)
-    return (f[0::2] << np.uint32(16)) | f[1::2]
+def _pack_u16_pairs(vals: np.ndarray) -> np.ndarray:
+    v = np.asarray(vals, np.uint32)
+    assert v.size == 0 or int(v.max()) < (1 << 16)
+    if v.shape[0] % 2:
+        v = np.append(v, np.uint32(0))
+    return (v[0::2] << np.uint32(16)) | v[1::2]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "V"))
-def _unpack_i16_words(words: jnp.ndarray, T: int, V: int) -> jnp.ndarray:
+def _unpack_u16_pairs(words: jnp.ndarray, n: int) -> jnp.ndarray:
     hi = (words >> jnp.uint32(16)).astype(jnp.int32)
     lo = (words & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    return jnp.stack([hi, lo], axis=1).reshape(T, V)
+    return jnp.stack([hi, lo], axis=1).reshape(-1)[:n]
+
+
+def _banded_last_group_words(sub: np.ndarray) -> int:
+    g = bitpack.DENSE_GROUP
+    sub = np.asarray(sub, np.int64)
+    S = sub.shape[0]
+    if S == 0:
+        return 0
+    ng = -(-S // g)
+    subp = np.pad(sub, (0, ng * g - S))
+    return int(subp.reshape(ng, g).max(axis=1)[-1]) * g
 
 
 def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
     """Fuse every decode-side upload into ONE uint32 buffer (the relay/PCIe
     path pays per-transfer latency; VERDICT r2 next #1): real record count,
-    substream tables, the packed words, per-record lengths only when
-    actually variable (uint16 pairs; uniform lengths regenerate from static
-    Lt), decode LUTs as canonical run words (expand_lut_runs; ~30x smaller
-    than the int16 planes), and the packed-output alphabet.
+    u16-packed substream tables (per-lane words < 2^16 under the walk's
+    step-count guard), per-record lengths only when actually variable
+    (uint16 pairs; uniform lengths regenerate from static Lt), decode
+    tables as nibble-packed canonical code LENGTHS (4 bits/symbol —
+    bitpack.luts_from_lens_device rebuilds the full planes on device), and
+    the packed-output alphabet.
 
     Word layout follows bitpack.DENSIFY:
       - "banded" (default): words ship group-banded (bitpack.banded_words_np)
         after the tables, so the device plane build is pure slices — no
-        sorts (VERDICT r3 next #1). The whole blob is bucketed at 4K-word
-        granularity (ONE bucket key instead of per-stream 16K pads — the
-        decompress-H2D diet of VERDICT r3 next #3).
+        sorts (VERDICT r3 next #1). The blob is bucketed ONCE at 4K-word
+        granularity, rounded so it also covers the plane build's bounded
+        overread past the last group (no separate slack piece).
       - otherwise: the LINEAR per-stream buffers right after the substream
         tables (densified on device by bitpack.dense_words, r3 layout).
-    Returns (blob, q_k, d_k, n_q_trees) — *_k: runs per tree (0 = full-plane
-    fallback; d_k < 0 = plain DNA, no table)."""
-    V = 1 << cfg.max_code_len
+    Returns (blob, n_q_trees)."""
     banded = bitpack.DENSIFY == "banded"
+    if p.q_tables.lens.size and \
+            int(p.q_tables.lens.max()) > cfg.max_code_len:
+        raise ValueError(
+            "corrupt quality table: code length exceeds max_code_len")
+    if p.d_plan.lens_tab.size and \
+            int(p.d_plan.lens_tab.max()) > cfg.max_code_len:
+        raise ValueError(
+            "corrupt DNA table: code length exceeds max_code_len")
     pieces = [np.array([p.R], np.uint32),
-              p.q_sub.astype(np.uint32), p.d_sub.astype(np.uint32)]
+              _pack_u16_pairs(p.q_sub), _pack_u16_pairs(p.d_sub)]
     if not banded:
         pieces += [p.q_words, p.d_words]
     if p.variable:
-        l = p.lens_pad.astype(np.uint32)
-        if l.shape[0] % 2:
-            l = np.append(l, np.uint32(0))
-        pieces.append((l[0::2] << np.uint32(16)) | l[1::2])
-    # run words straight from the code LENGTHS — no (T, V) plane
-    # materialization on the common path (was the second-largest host-parse
-    # cost); the expanded planes are only built for the rare full-plane
-    # fallback
+        pieces.append(_pack_u16_pairs(p.lens_pad))
     n_q_trees = max(p.q_tables.n_trees, 1)
     if p.q_tables.n_trees:
-        q_runs = bitpack.lut_runs_from_lens(
-            p.q_tables.lens, p.q_tables.singletons, cfg.max_code_len)
+        pieces.append(bitpack.pack_lens4_np(p.q_tables.lens,
+                                            p.q_tables.singletons))
     else:
-        q_runs = np.zeros((1, 8), np.uint32)
-        q_runs[:, 1:] = bitpack._RUN_SENTINEL
-    if q_runs is not None:
-        q_k = q_runs.shape[1]
-        pieces.append(q_runs.reshape(-1))
-    else:
-        q_k = 0
-        q_lut = p.q_tables.luts(cfg.max_code_len)
-        if q_lut.shape[0] == 0:
-            q_lut = np.zeros((1, V), np.int32)
-        pieces.append(_pack_i16_words(q_lut))
-    d_k = -1
+        pieces.append(bitpack.pack_lens4_np(
+            np.zeros((1, 256), np.uint8), np.array([-1], np.int32)))
     if p.d_plan.mode != dna.MODE_PLAIN:
-        d_runs = bitpack.lut_runs_from_lens(
+        pieces.append(bitpack.pack_lens4_np(
             p.d_plan.lens_tab[None, :],
-            np.array([p.d_plan.singleton], np.int64), cfg.max_code_len)
-        if d_runs is not None:
-            d_k = d_runs.shape[1]
-            pieces.append(d_runs.reshape(-1))
-        else:
-            d_k = 0
-            pieces.append(_pack_i16_words(p.d_plan.luts(cfg.max_code_len)))
+            np.array([p.d_plan.singleton], np.int32)))
     if p.out_alpha is not None and not p.is_delta:
         a = np.full(32, 0xFFFFFFFF, np.uint32)
         a[: p.out_alpha.shape[0]] = p.out_alpha
         pieces.append(a)
     if banded:
-        pieces.append(bitpack.banded_words_np(p.q_words, p.q_sub))
-        pieces.append(bitpack.banded_words_np(p.d_words, p.d_sub))
-        # end slack: dense_words_banded's per-group (Wmax, group) slices may
-        # overread up to Wmax*group words past the last group start
-        pieces.append(np.zeros(
-            max(p.q_wmax, p.d_wmax) * bitpack.DENSE_GROUP, np.uint32))
+        base = sum(x.shape[0] for x in pieces)
+        qb = bitpack.banded_words_np(p.q_words, p.q_sub)
+        db = bitpack.banded_words_np(p.d_words, p.d_sub)
+        pieces += [qb, db]
+        g = bitpack.DENSE_GROUP
+        # dense_words_banded slices (Wmax, g) from each group start; the
+        # furthest reads past the data are bounded and the bucket round-up
+        # absorbs them (no separate slack piece on the wire)
+        need = base + max(
+            qb.shape[0] - _banded_last_group_words(p.q_sub)
+            + p.q_wmax * g,
+            qb.shape[0] + db.shape[0]
+            - _banded_last_group_words(p.d_sub) + p.d_wmax * g)
     blob = np.concatenate(pieces)
     if banded:
-        n = -(-blob.shape[0] // 4096) * 4096
+        n = -(-max(blob.shape[0], need) // 4096) * 4096
         if p.buckets is not None:
             n = p.buckets.pick_words(f"dwalk:{p.Rp}", n)
         if n > blob.shape[0]:
             blob = np.concatenate(
                 [blob, np.zeros(n - blob.shape[0], np.uint32)])
-    return blob, q_k, d_k, n_q_trees
+    return blob, n_q_trees
 
 
 def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
@@ -992,10 +995,10 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
             for k, v in dev.items() if k != "mesh"))
         return dev
     if p.use_walk:
-        blob_np, q_k, d_k, n_q_trees = _walk_blob_np(p, cfg)
+        blob_np, n_q_trees = _walk_blob_np(p, cfg)
         _acct("h2d_bytes", blob_np.nbytes)
         return {"blob": jax.device_put(blob_np),
-                "walk_meta": (q_k, d_k, n_q_trees)}
+                "walk_meta": n_q_trees}
     dev = {
         "q_words": jax.device_put(p.q_words),
         "q_sub": jax.device_put(p.q_sub),
@@ -1094,11 +1097,11 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "n_q", "n_d", "Rp", "L", "Lt", "G", "variable",
-    "q_k", "d_k", "n_q_trees", "lut_bits", "q_wmax", "d_wmax", "sp",
+    "n_q_trees", "lut_bits", "q_wmax", "d_wmax", "sp",
     "d_plain", "is_delta", "out_w", "q6", "exc_cap", "banded", "legacy",
     "interpret"))
 def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
-                       q_k, d_k, n_q_trees, lut_bits, q_wmax, d_wmax, sp,
+                       n_q_trees, lut_bits, q_wmax, d_wmax, sp,
                        d_plain, is_delta, out_w, q6, exc_cap=0,
                        banded=False, legacy=False, interpret=False):
     """Whole per-sub-block pallas-walk decode graph over ONE fused H2D blob
@@ -1106,43 +1109,35 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
     sub-blocks share this executable). banded=True (default wire layout):
     the words arrive group-banded and the walk planes are built by
     dense_words_banded — pure contiguous slices, no sorts (VERDICT r3 next
-    #1; the r3 two-sort densify measured 200 MB/s device decode vs ~1 GB/s
-    walk-only). banded=False: the r3 linear layout + dense_words. Plus
-    run-compressed LUTs (expand_lut_runs) and, only when actually variable,
-    packed per-record lengths. Reference decode side this replaces:
+    #1). banded=False: the r3 linear layout + dense_words. Decode tables
+    arrive as 4-bit canonical code lengths and are rebuilt on device
+    (bitpack.luts_from_lens_device); per-record lengths ship only when
+    actually variable. Reference decode side this replaces:
     tasks.cpp:957-1101."""
     V = 1 << lut_bits
     off = 1
-    q_sub = blob[off : off + S].astype(jnp.int32); off += S
-    d_sub = blob[off : off + S].astype(jnp.int32); off += S
+    q_sub = _unpack_u16_pairs(blob[off : off + (S + 1) // 2], S)
+    off += (S + 1) // 2
+    d_sub = _unpack_u16_pairs(blob[off : off + (S + 1) // 2], S)
+    off += (S + 1) // 2
     if not banded:
         q_words = blob[off : off + n_q]; off += n_q
         d_words = blob[off : off + n_d]; off += n_d
     if variable:
-        n_lw = (Rp + 1) // 2
-        lw = blob[off : off + n_lw]; off += n_lw
-        hi = (lw >> jnp.uint32(16)).astype(jnp.int32)
-        lo = (lw & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        lens = jnp.stack([hi, lo], axis=1).reshape(-1)[:Rp]
+        lens = _unpack_u16_pairs(blob[off : off + (Rp + 1) // 2], Rp)
+        off += (Rp + 1) // 2
     else:
         R = blob[0].astype(jnp.int32)
         lens = jnp.where(jnp.arange(Rp, dtype=jnp.int32) < R, Lt, 0)
-    if q_k > 0:
-        q_luts = bitpack.expand_lut_runs(
-            blob[off : off + n_q_trees * q_k].reshape(n_q_trees, q_k), V)
-        off += n_q_trees * q_k
-    else:
-        q_luts = _unpack_i16_words(
-            blob[off : off + n_q_trees * V // 2], n_q_trees, V)
-        off += n_q_trees * V // 2
+    q_luts = bitpack.luts_from_lens_device(
+        blob[off : off + n_q_trees * 32],
+        blob[off + n_q_trees * 32 : off + n_q_trees * 33], n_q_trees, V)
+    off += n_q_trees * 33
     d_luts = None
-    if d_k > 0:
-        d_luts = bitpack.expand_lut_runs(
-            blob[off : off + d_k].reshape(1, d_k), V)
-        off += d_k
-    elif d_k == 0:
-        d_luts = _unpack_i16_words(blob[off : off + V // 2], 1, V)
-        off += V // 2
+    if not d_plain:
+        d_luts = bitpack.luts_from_lens_device(
+            blob[off : off + 32], blob[off + 32 : off + 33], 1, V)
+        off += 33
 
     if banded:
         # alpha (when present) sits before the words in the banded layout so
@@ -1220,7 +1215,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
     exc_cap = (0 if (not pack or force_plain_out)
                else _out_exc_cap(p.Rp, p.L, p.out_alpha.shape[0]))
     if p.use_walk:
-        q_k, d_k, n_q_trees = dev["walk_meta"]
+        n_q_trees = dev["walk_meta"]
         banded = bitpack.DENSIFY == "banded"
         return _decode_walk_fused(
             dev["blob"],
@@ -1235,7 +1230,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
             # extra executables
             Lt=0 if p.variable else p.Lt,
             G=p.G, variable=p.variable,
-            q_k=q_k, d_k=d_k, n_q_trees=n_q_trees,
+            n_q_trees=n_q_trees,
             lut_bits=cfg.max_code_len,
             q_wmax=p.q_wmax, d_wmax=p.d_wmax, sp=p.sp,
             d_plain=p.d_plan.mode == dna.MODE_PLAIN,

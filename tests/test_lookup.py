@@ -376,10 +376,10 @@ def test_dense_words_pallas_matches_valid_cells():
     np.testing.assert_array_equal(got[valid], ref[valid])
 
 
-def test_lut_runs_from_lens_matches_planes():
-    """lut_runs_from_lens == lut_runs_np over materialized decode planes for
-    normal, singleton, and empty trees (the plane-free fast path must be
-    bit-identical to what the device expands)."""
+def test_luts_from_lens_device_matches_batch():
+    """luts_from_lens_device (the 4-bit wire form's device rebuild) is
+    bit-identical to huffman.decode_lut_batch for normal, singleton, and
+    empty trees, at both 8- and 12-bit LUT widths."""
     rng = np.random.default_rng(53)
     for bits in (8, 12):
         lens_rows, sing_rows = [], []
@@ -396,23 +396,15 @@ def test_lut_runs_from_lens_matches_planes():
             lens_rows.append(huffman.build_code_lengths(f, bits))
             sing_rows.append(huffman.singleton_of(f))
         lens = np.stack(lens_rows)
-        sing = np.array(sing_rows, np.int64)
+        sing = np.array(sing_rows, np.int32)
         sym, ln = huffman.decode_lut_batch(lens, bits, sing)
         planes = ((ln.astype(np.int32) << 9) | sym.astype(np.int32))
-        want = bitpack.lut_runs_np(planes)
-        got = bitpack.lut_runs_from_lens(lens, sing, bits)
-        assert got is not None and want is not None
-        # pad to a common width (Kb rounding may differ)
-        kb = max(got.shape[1], want.shape[1])
-        def _pad(a):
-            out = np.full((a.shape[0], kb), bitpack._RUN_SENTINEL, np.uint32)
-            out[:, : a.shape[1]] = a
-            return out
-        np.testing.assert_array_equal(_pad(got), _pad(want))
-        # and both expand to the exact planes
-        V = 1 << bits
-        np.testing.assert_array_equal(
-            np.asarray(bitpack.expand_lut_runs(jnp.asarray(got), V)), planes)
+        wire = bitpack.pack_lens4_np(lens, sing)
+        T = lens.shape[0]
+        got = np.asarray(bitpack.luts_from_lens_device(
+            jnp.asarray(wire[: T * 32]), jnp.asarray(wire[T * 32 :]),
+            T, 1 << bits))
+        np.testing.assert_array_equal(got, planes)
 
 
 def test_canonical_codes_batch_matches_prefix_property():
@@ -438,20 +430,6 @@ def test_canonical_codes_batch_matches_prefix_property():
         assert all(a < b for a, b in zip(la, la[1:]))
         kraft = sum(1 << (12 - int(lens[t][s])) for s in present)
         assert kraft == 1 << 12
-
-
-def test_lut_runs_roundtrip():
-    rng = np.random.default_rng(37)
-    lens = huffman.build_code_lengths_batch(
-        rng.integers(1, 500, size=(7, 60)), 12)
-    sym, ln = huffman.decode_lut_batch(lens, 12, np.full(7, -1, np.int64))
-    luts = ((ln.astype(np.int32) << 9) | sym.astype(np.int32))
-    runs = bitpack.lut_runs_np(luts)
-    assert runs is not None and runs.shape[1] <= 256
-    got = np.asarray(bitpack.expand_lut_runs(jnp.asarray(runs), 1 << 12))
-    np.testing.assert_array_equal(got, luts)
-    # over-budget tables fall back (None) instead of truncating
-    assert bitpack.lut_runs_np(luts, max_runs=4) is None
 
 
 @pytest.mark.parametrize("R,L,A", [(100, 7, 256), (1030, 36, 256),
