@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     d = sub.add_parser("decompress", help=".ngsct → FASTQ")
     d.add_argument("input")
     d.add_argument("output")
+    d.add_argument("--data-shards", type=int, default=1,
+                   help="shard the fused walk decode over N mesh devices "
+                        "(substream groups are shard-independent)")
 
     imp = sub.add_parser(
         "import-ngsc",
@@ -67,6 +70,13 @@ def main(argv=None) -> int:
              "decompressor the reference never shipped)")
     imp.add_argument("input")
     imp.add_argument("output")
+
+    exp = sub.add_parser(
+        "export-ngsc",
+        help="write a reference-format phyNGSC .ngsc container from FASTQ "
+             "(host-side compatibility writer; verified against import-ngsc)")
+    exp.add_argument("input")
+    exp.add_argument("output")
 
     v = sub.add_parser("verify",
                        help="compress+decompress+compare (streams via temp "
@@ -99,7 +109,9 @@ def main(argv=None) -> int:
         from phyngsc_tpu.pipeline.decompress import decompress_file
 
         t0 = time.perf_counter()
-        decompress_file(args.input, args.output)
+        cfg = (CodecConfig(data_shards=args.data_shards)
+               if args.data_shards > 1 else None)
+        decompress_file(args.input, args.output, cfg)
         print(f"[I] decompressed in {time.perf_counter() - t0:.3f}s")
         return 0
 
@@ -109,6 +121,15 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         n = import_ngsc_file(args.input, args.output)
         print(f"[I] imported {n} FASTQ bytes from .ngsc in "
+              f"{time.perf_counter() - t0:.3f}s")
+        return 0
+
+    if args.cmd == "export-ngsc":
+        from phyngsc_tpu.container.ngsc_export import export_ngsc_file
+
+        t0 = time.perf_counter()
+        n = export_ngsc_file(args.input, args.output)
+        print(f"[I] exported {n} .ngsc bytes in "
               f"{time.perf_counter() - t0:.3f}s")
         return 0
 

@@ -295,7 +295,7 @@ def _lane_unpack_np(words: np.ndarray, w: int, n: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("w", "q6", "exc_cap"))
-def _pack_out(seq, qual, idx_tab, lens, w, q6, exc_cap=0):
+def _pack_out(seq, qual, alpha32, lens, w, q6, exc_cap=0):
     """Packed decode-output fetch: the (2, Rp, L) uint8 planes are the
     decompressor's dominant relay/PCIe transfer — the restored alphabet is
     host-known (DNA plan symbols ∪ restored IUPAC chars), so seq ships as a
@@ -339,9 +339,15 @@ def _pack_out(seq, qual, idx_tab, lens, w, q6, exc_cap=0):
         base2 = jnp.where(exc | ~valid, jnp.uint32(0), code)
         sw = _lane_pack_j(base2, 2)
         return jnp.concatenate([count, ew, sw, qw])
-    tab = jnp.broadcast_to(idx_tab[None, :], (L, 256))
-    idx = lookup.fused_lookup(seq, tab).reshape(-1)
-    sw = _lane_pack_j(idx, w)
+    # byte -> alphabet index by <= 32 unrolled compares: the restored
+    # alphabet is tiny, so this beats any table machinery (a 256-column
+    # one-hot lookup here measured ~3 ms of the decode graph; sentinel -1
+    # slots never match a byte)
+    s32 = seq.astype(jnp.int32).reshape(-1)
+    idx = jnp.zeros_like(s32)
+    for k in range(1, 32):
+        idx = idx + k * (s32 == alpha32[k])
+    sw = _lane_pack_j(idx.astype(jnp.uint32), w)
     return jnp.concatenate([sw, qw])
 
 
@@ -1017,9 +1023,9 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
     if p.d_plan.mode != dna.MODE_PLAIN:
         dev["d_luts"] = jax.device_put(_lut_i16(p.d_plan.luts(cfg.max_code_len)))
     if p.out_alpha is not None:
-        idx_tab = np.zeros(256, np.int32)
-        idx_tab[p.out_alpha] = np.arange(p.out_alpha.shape[0], dtype=np.int32)
-        dev["out_tab"] = jax.device_put(idx_tab)
+        a = np.full(32, -1, np.int32)
+        a[: p.out_alpha.shape[0]] = p.out_alpha
+        dev["out_tab"] = jax.device_put(a)
     _acct("h2d_bytes", sum(int(np.prod(v.shape)) * v.dtype.itemsize
                            for v in dev.values()))
     return dev
@@ -1033,7 +1039,7 @@ def _out_width(n_alpha: int) -> int:
     return 4 if n_alpha <= 16 else 5
 
 
-def _decode_tail(qual_t, lens, dna_syms, out_tab, *, is_delta, out_w, q6,
+def _decode_tail(qual_t, lens, dna_syms, alpha32, *, is_delta, out_w, q6,
                  exc_cap=0):
     """Shared decode-graph tail: ambiguity restore → delta untranslate →
     packed (or raw) output blob."""
@@ -1041,7 +1047,7 @@ def _decode_tail(qual_t, lens, dna_syms, out_tab, *, is_delta, out_w, q6,
     if is_delta:
         seq_j = dna.delta_untranslate(seq_j, lens)
     if out_w and not is_delta:
-        return _pack_out(seq_j, qual_j, out_tab, lens, out_w, q6,
+        return _pack_out(seq_j, qual_j, alpha32, lens, out_w, q6,
                          exc_cap=exc_cap)
     return _fuse_seq_qual(seq_j, qual_j)
 
@@ -1172,12 +1178,10 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
                                            lut_bits, interpret=interpret)
     out_tab = None
     if out_w and not is_delta:
-        # 32-slot restored alphabet → 256-entry index table; sentinel words
-        # (0xFFFFFFFF → -1 as int32) drop out of the scatter
+        # 32-slot restored alphabet; sentinel words (0xFFFFFFFF -> -1 as
+        # int32) never match a byte in the compare-indexing
         a_off = alpha_off if banded else off
-        alpha = blob[a_off : a_off + 32].astype(jnp.int32)
-        out_tab = jnp.zeros(256, jnp.int32).at[alpha].set(
-            jnp.arange(32, dtype=jnp.int32), mode="drop")
+        out_tab = blob[a_off : a_off + 32].astype(jnp.int32)
     return _decode_tail(qual_t, lens, dna_syms, out_tab,
                         is_delta=is_delta, out_w=out_w, q6=q6,
                         exc_cap=exc_cap)
