@@ -237,13 +237,33 @@ def pack_bits_rows(codes: jnp.ndarray, lens: jnp.ndarray,
     return words.astype(jnp.uint32), sub_n_words, total
 
 
-@functools.partial(jax.jit, static_argnames=("n_words_cap",))
+#: rows-plane compaction strategy, resolved ONCE at import (same contract
+#: as DENSIFY/lookup.VARIANT): "sort" (default) — one global sort; "dus" —
+#: ascending per-lane dynamic-update-slice overwrite. Measured r4 on v5e:
+#: standalone the DUS loop wins (1.92 vs 3.88 ms at (1024, 512)), but
+#: inside the fused encode graph its sequential carry chain blocks the
+#: overlap XLA finds around the sort (e2e 627 vs 757 MB/s) — so sort
+#: stays the default and dus is the recorded alternative. Both produce
+#: identical valid words; [total, cap) is unspecified slack either way.
+COMPACT = os.environ.get("PHYNGSC_COMPACT", "sort")
+
+
 def compact_rows(plane: jnp.ndarray, sub_n_words: jnp.ndarray,
                  n_words_cap: int) -> jnp.ndarray:
     """Device compaction of a pack_bits_rows plane to the dense linear
-    stream: one global sort on unique word-index keys (invalid slots pushed
-    past the end). Words in [total_words, n_words_cap) are cap slack, as in
-    pack_bits_scatter; callers trim with the returned totals."""
+    stream (strategy-selected, see COMPACT). Words in [total_words,
+    n_words_cap) are cap slack, as in pack_bits_scatter; callers trim with
+    the returned totals."""
+    if COMPACT == "sort":
+        return compact_rows_sort(plane, sub_n_words, n_words_cap)
+    return compact_rows_dus(plane, sub_n_words, n_words_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("n_words_cap",))
+def compact_rows_sort(plane: jnp.ndarray, sub_n_words: jnp.ndarray,
+                      n_words_cap: int) -> jnp.ndarray:
+    """Sort-based compaction: one global sort on unique word-index keys
+    (invalid slots pushed past the end)."""
     S, T = plane.shape
     sub = sub_n_words.astype(jnp.int32)
     start = (jnp.cumsum(sub) - sub)[:, None]
@@ -256,6 +276,28 @@ def compact_rows(plane: jnp.ndarray, sub_n_words: jnp.ndarray,
         # is trimmed by the caller either way
         return jnp.pad(v, (0, n_words_cap - v.shape[0]))
     return v[:n_words_cap]
+
+
+@functools.partial(jax.jit, static_argnames=("n_words_cap",))
+def compact_rows_dus(plane: jnp.ndarray, sub_n_words: jnp.ndarray,
+                     n_words_cap: int) -> jnp.ndarray:
+    """Sort-free compaction: write each lane's T-word row at its exclusive
+    prefix start in ASCENDING lane order — lane s's garbage tail (columns
+    past sub[s]) lands exactly where lanes s+1.. write next, so the final
+    buffer's valid region equals the sorted compaction's (the same
+    overwrite trick as the decode-side banded plane build, in reverse).
+    The last lane's tail spills into dedicated scratch past the cap."""
+    S, T = plane.shape
+    sub = sub_n_words.astype(jnp.int32)
+    start = jnp.cumsum(sub) - sub
+
+    def body(s, b):
+        row = jax.lax.dynamic_slice(plane, (s, 0), (1, T)).reshape(T)
+        return jax.lax.dynamic_update_slice(b, row, (start[s],))
+
+    buf = jax.lax.fori_loop(
+        0, S, body, jnp.zeros((n_words_cap + T,), jnp.uint32))
+    return buf[:n_words_cap]
 
 
 def trim_rows_np(plane: np.ndarray, sub_n_words: np.ndarray) -> np.ndarray:

@@ -231,3 +231,25 @@ def test_pack_rows_32bit_elements():
 def test_pack_rows_single_element_substreams():
     lens = np.array([[1], [31], [32], [0], [17]], np.int32)
     _rows_vs_scatter(lens, G=1)
+
+
+def test_compact_rows_dus_matches_sort():
+    """The ascending-overwrite compaction equals the sort compaction on
+    every valid word (slack past each total is unspecified in both)."""
+    import jax.numpy as jnp
+
+    from phyngsc_tpu.ops import bitpack
+
+    rng = np.random.default_rng(77)
+    for S, T in ((4, 16), (33, 64), (128, 40)):
+        sub = rng.integers(0, T + 1, size=S).astype(np.int32)
+        plane = rng.integers(0, 1 << 32, size=(S, T), dtype=np.uint64
+                             ).astype(np.uint32)
+        # valid prefix only: columns past sub[s] are garbage by contract
+        total = int(sub.sum())
+        cap = -(-max(total, 1) // 64) * 64
+        a = np.asarray(bitpack.compact_rows_sort(
+            jnp.asarray(plane), jnp.asarray(sub), cap))
+        b = np.asarray(bitpack.compact_rows_dus(
+            jnp.asarray(plane), jnp.asarray(sub), cap))
+        np.testing.assert_array_equal(a[:total], b[:total])
