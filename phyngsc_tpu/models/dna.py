@@ -328,7 +328,7 @@ def _keep_slot_mask(keep: jnp.ndarray, G: int, Sp: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("L", "records_per_substream",
                                              "lut_bits", "interpret"))
 def decode_huffman_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
-                        luts: jnp.ndarray, L: int,
+                        runs, L: int,
                         records_per_substream: int, lut_bits: int,
                         interpret: bool = False):
     """decode_huffman via the masked pallas walk: slots are (record,
@@ -340,10 +340,12 @@ def decode_huffman_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
     S = R // G
     T = G * L
     Sp = words_dense.shape[1]
-    shared = jnp.broadcast_to(luts[0], (bitpack._WALK_TC, luts.shape[1]))
+    starts, deltas = runs
+    sh_s = jnp.broadcast_to(starts[0], (bitpack._WALK_TC, starts.shape[1]))
+    sh_d = jnp.broadcast_to(deltas[0], (bitpack._WALK_TC, deltas.shape[1]))
     syms = bitpack.unpack_substreams_masked_pallas(
-        words_dense, shared, _keep_slot_mask(keep, G, Sp), n_steps=T,
-        shared_luts=True, interpret=interpret)[:S]
+        words_dense, sh_s, sh_d, _keep_slot_mask(keep, G, Sp), n_steps=T,
+        shared_luts=True, lut_bits=lut_bits, interpret=interpret)[:S]
     out = syms.reshape(R, L)
     return jnp.where(keep, out, 0).astype(jnp.uint8)
 
@@ -363,10 +365,10 @@ def decode_plain_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
     T = G * L
     Sp = words_dense.shape[1]
     # plain2: entries are computed arithmetically from the window's top two
-    # bits — the table input is a placeholder (never read)
+    # bits — the table inputs are placeholders (never read)
     shared = jnp.zeros((bitpack._WALK_TC, 128), jnp.int32)
     syms = bitpack.unpack_substreams_masked_pallas(
-        words_dense, shared, _keep_slot_mask(keep, G, Sp), n_steps=T,
+        words_dense, shared, shared, _keep_slot_mask(keep, G, Sp), n_steps=T,
         shared_luts=True, plain2=True, interpret=interpret)[:S]
     nucs = jnp.asarray(ACGT)[syms.reshape(R, L)]
     return jnp.where(keep, nucs, 0).astype(jnp.uint8)

@@ -563,96 +563,107 @@ def unpack_substreams_pairs(words: jnp.ndarray, sub_word_start: jnp.ndarray,
 _WALK_TC = 128
 
 
-def _walk_kernel(words_ref, luts_ref, totals_ref, out_ref, wi_ref, bi_ref):
-    k = pl.program_id(0)
-    Tc = out_ref.shape[0]
-    Wmax = words_ref.shape[0]
-    V = luts_ref.shape[1]
-    lut_bits = int(V).bit_length() - 1
+def _make_walk_kernel(lut_bits: int):
+    """Uniform walk kernel: the per-step decode table arrives as canonical
+    LUT RUNS — (starts, deltas) rows of K = 256 columns — and the entry is
+    the cumulative-delta sum Σ delta_r·(idx >= start_r): 16x fewer compare
+    columns than selecting from the 2^12 plane (lut_runs_device)."""
 
-    @pl.when(k == 0)
-    def _():
-        wi_ref[:] = jnp.zeros_like(wi_ref)
-        bi_ref[:] = jnp.zeros_like(bi_ref)
+    def kernel(words_ref, starts_ref, deltas_ref, totals_ref, out_ref,
+               wi_ref, bi_ref):
+        k = pl.program_id(0)
+        Tc = out_ref.shape[0]
+        Wmax = words_ref.shape[0]
+        K = starts_ref.shape[1]
 
-    totals = totals_ref[:]
-    vny = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
+        @pl.when(k == 0)
+        def _():
+            wi_ref[:] = jnp.zeros_like(wi_ref)
+            bi_ref[:] = jnp.zeros_like(bi_ref)
 
-    def step(i, _):
-        wi = wi_ref[:]                           # (Sr, 128) int32
-        bi = bi_ref[:]
-        m = jnp.min(wi)
-        span = jnp.minimum(jnp.max(wi) + 2 - m, Wmax - m)
+        totals = totals_ref[:]
 
-        def fetch(j, acc):
-            w0a, w1a = acc
-            tile = words_ref[jnp.minimum(m + j, Wmax - 1)]
-            w0a = jnp.where(wi == m + j, tile, w0a)
-            w1a = jnp.where(wi + 1 == m + j, tile, w1a)
-            return w0a, w1a
+        def step(i, _):
+            wi = wi_ref[:]                           # (Sr, 128) int32
+            bi = bi_ref[:]
+            m = jnp.min(wi)
+            span = jnp.minimum(jnp.max(wi) + 2 - m, Wmax - m)
 
-        zero = jnp.zeros_like(wi, dtype=jnp.uint32)
-        w0, w1 = jax.lax.fori_loop(0, span, fetch, (zero, zero))
+            def fetch(j, acc):
+                w0a, w1a = acc
+                tile = words_ref[jnp.minimum(m + j, Wmax - 1)]
+                w0a = jnp.where(wi == m + j, tile, w0a)
+                w1a = jnp.where(wi + 1 == m + j, tile, w1a)
+                return w0a, w1a
 
-        b = bi.astype(jnp.uint32)
-        win = jnp.where(bi == 0, w0,
-                        (w0 << b) | (w1 >> (jnp.uint32(WORD_BITS) - b)))
-        idx = (win >> jnp.uint32(WORD_BITS - lut_bits)).astype(jnp.int32)
+            zero = jnp.zeros_like(wi, dtype=jnp.uint32)
+            w0, w1 = jax.lax.fori_loop(0, span, fetch, (zero, zero))
 
-        lut_row = luts_ref[i].reshape(1, 1, V)   # this step's table
-        mask = idx[:, :, None] == vny
-        entry = jnp.sum(jnp.where(mask, lut_row, 0), axis=2)
+            b = bi.astype(jnp.uint32)
+            win = jnp.where(bi == 0, w0,
+                            (w0 << b) | (w1 >> (jnp.uint32(WORD_BITS) - b)))
+            idx = (win >> jnp.uint32(WORD_BITS - lut_bits)).astype(jnp.int32)
 
-        valid = (k * Tc + i) < totals
-        sym = entry & 0x1FF
-        l = jnp.where(valid, entry >> 9, 0)
-        out_ref[i] = sym
-        b2 = bi + l
-        wi_ref[:] = wi + (b2 >> 5)
-        bi_ref[:] = b2 & 31
-        return 0
+            st_row = starts_ref[i].reshape(1, 1, K)
+            dl_row = deltas_ref[i].reshape(1, 1, K)
+            cmp = idx[:, :, None] >= st_row
+            entry = jnp.sum(jnp.where(cmp, dl_row, 0), axis=2)
 
-    jax.lax.fori_loop(0, Tc, step, 0)
+            valid = (k * Tc + i) < totals
+            sym = entry & 0x1FF
+            l = jnp.where(valid, entry >> 9, 0)
+            out_ref[i] = sym
+            b2 = bi + l
+            wi_ref[:] = wi + (b2 >> 5)
+            bi_ref[:] = b2 & 31
+            return 0
+
+        jax.lax.fori_loop(0, Tc, step, 0)
+
+    return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "shared_luts", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "shared_luts",
+                                             "lut_bits", "interpret"))
 def unpack_substreams_uniform_pallas(
-        words_dense: jnp.ndarray, step_luts: jnp.ndarray,
-        totals: jnp.ndarray, n_steps: int = 0, shared_luts: bool = False,
+        words_dense: jnp.ndarray, step_starts: jnp.ndarray,
+        step_deltas: jnp.ndarray, totals: jnp.ndarray, n_steps: int = 0,
+        shared_luts: bool = False, lut_bits: int = 12,
         interpret: bool = False) -> jnp.ndarray:
     """Pallas LUT walk over dense per-lane word planes.
 
     words_dense (Wmax, Sp) uint32 — substream s's words in column s (host
                  lays these out; Sp a multiple of 128, zero-padded)
-    step_luts   (T, V) int32 — the decode table row for each step (packed
-                 len<<9|sym entries); with shared_luts=True a single (Tc, V)
-                 broadcast block reused by every grid step (constant tree;
-                 pass the real step count via n_steps)
+    step_starts/step_deltas (T, 256) int32 — each step's decode table as
+                 canonical LUT runs (lut_runs_device); with shared_luts=True
+                 a single (Tc, 256) broadcast block reused by every grid
+                 step (constant tree; pass the real step count via n_steps)
     totals      (Sp,) int32 — symbols in substream s (validity boundary)
     Returns (S_p, T) int32 symbols; bit-identical to unpack_substreams for
     the same streams (tests/test_lookup.py walk cases).
     """
     Wmax, Sp = words_dense.shape
-    V = step_luts.shape[1]
-    T = n_steps or step_luts.shape[0]
+    T = n_steps or step_starts.shape[0]
+    K = step_starts.shape[1]
     assert Sp % 128 == 0, "pad substream lanes to a multiple of 128"
     Sr = Sp // 128
     Tc = _WALK_TC
     Tp = -(-T // Tc) * Tc
     if not shared_luts and Tp != T:
-        step_luts = jnp.pad(step_luts, ((0, Tp - T), (0, 0)))
+        step_starts = jnp.pad(step_starts, ((0, Tp - T), (0, 0)))
+        step_deltas = jnp.pad(step_deltas, ((0, Tp - T), (0, 0)))
     grid = (Tp // Tc,)
     words3 = words_dense.reshape(Wmax, Sr, 128)
     totals2 = totals.reshape(Sr, 128)
     lut_map = (lambda k: (0, 0)) if shared_luts else (lambda k: (k, 0))
     out = pl.pallas_call(
-        _walk_kernel,
+        _make_walk_kernel(lut_bits),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Wmax, Sr, 128), lambda k: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tc, V), lut_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc, K), lut_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc, K), lut_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Sr, 128), lambda k: (0, 0),
                              memory_space=pltpu.VMEM),
         ],
@@ -664,34 +675,32 @@ def unpack_substreams_uniform_pallas(
             pltpu.VMEM((Sr, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(words3, step_luts, totals2)
+    )(words3, step_starts, step_deltas, totals2)
     return out.reshape(Tp, Sp).T[:, :T]
 
 
-def _make_masked_kernel(plain2: bool):
+def _make_masked_kernel(plain2: bool, lut_bits: int):
     """Masked walk kernel: step t is an OUTPUT SLOT, not a symbol index —
     the lane consumes its next symbol only where mask[t] is set (and emits
     0 elsewhere). Decoded symbols therefore land directly in slot order:
     with slots (g, p) this produces the (R, L) layout with NO
     scatter/gather — the per-element general gather XLA would need costs
     ~16 ns/elem (measured 37.9 ms for the 2.36M-element plain-DNA
-    extraction). plain2: all codes are 2-bit values (plain DNA) — the
-    entry is arithmetic, no LUT select (and Mosaic's select lowering for
-    small V is not implemented anyway)."""
+    extraction). Tables arrive as canonical LUT runs (see
+    _make_walk_kernel). plain2: all codes are 2-bit values (plain DNA) —
+    the entry is arithmetic, no table at all."""
 
-    def kernel(words_ref, luts_ref, mask_ref, out_ref, wi_ref, bi_ref):
+    def kernel(words_ref, starts_ref, deltas_ref, mask_ref, out_ref,
+               wi_ref, bi_ref):
         k = pl.program_id(0)
         Tc = out_ref.shape[0]
         Wmax = words_ref.shape[0]
-        V = luts_ref.shape[1]
-        lut_bits = int(V).bit_length() - 1
+        K = starts_ref.shape[1]
 
         @pl.when(k == 0)
         def _():
             wi_ref[:] = jnp.zeros_like(wi_ref)
             bi_ref[:] = jnp.zeros_like(bi_ref)
-
-        vny = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
 
         def step(i, _):
             wi = wi_ref[:]
@@ -717,9 +726,10 @@ def _make_masked_kernel(plain2: bool):
             else:
                 idx = (win >> jnp.uint32(WORD_BITS - lut_bits)
                        ).astype(jnp.int32)
-                lut_row = luts_ref[i].reshape(1, 1, V)
-                cmp = idx[:, :, None] == vny
-                entry = jnp.sum(jnp.where(cmp, lut_row, 0), axis=2)
+                st_row = starts_ref[i].reshape(1, 1, K)
+                dl_row = deltas_ref[i].reshape(1, 1, K)
+                cmp = idx[:, :, None] >= st_row
+                entry = jnp.sum(jnp.where(cmp, dl_row, 0), axis=2)
 
             consume = mask_ref[i] != 0
             out_ref[i] = jnp.where(consume, entry & 0x1FF, 0)
@@ -735,24 +745,28 @@ def _make_masked_kernel(plain2: bool):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_steps", "shared_luts", "plain2", "interpret"))
+    "n_steps", "shared_luts", "plain2", "lut_bits", "interpret"))
 def unpack_substreams_masked_pallas(
-        words_dense: jnp.ndarray, step_luts: jnp.ndarray,
-        mask: jnp.ndarray, n_steps: int = 0, shared_luts: bool = False,
-        plain2: bool = False, interpret: bool = False) -> jnp.ndarray:
+        words_dense: jnp.ndarray, step_starts: jnp.ndarray,
+        step_deltas: jnp.ndarray, mask: jnp.ndarray, n_steps: int = 0,
+        shared_luts: bool = False, plain2: bool = False, lut_bits: int = 12,
+        interpret: bool = False) -> jnp.ndarray:
     """Masked pallas walk: mask (T, Sp) uint8/bool — slot (t, s) consumes
     the lane's next symbol iff set; unset slots emit 0 and do not advance.
-    Otherwise identical to unpack_substreams_uniform_pallas. plain2 decodes
-    fixed 2-bit codes with no LUT. Returns (Sp, T) int32 in slot order."""
+    Otherwise identical to unpack_substreams_uniform_pallas (tables as
+    canonical LUT runs). plain2 decodes fixed 2-bit codes with no table.
+    Returns (Sp, T) int32 in slot order."""
     Wmax, Sp = words_dense.shape
-    V = step_luts.shape[1]
-    T = n_steps or step_luts.shape[0]
+    T = n_steps or step_starts.shape[0]
+    K = step_starts.shape[1]
     assert Sp % 128 == 0, "pad substream lanes to a multiple of 128"
     Sr = Sp // 128
     Tc = _WALK_TC
     Tp = -(-T // Tc) * Tc
-    if not shared_luts and Tp != step_luts.shape[0]:
-        step_luts = jnp.pad(step_luts, ((0, Tp - step_luts.shape[0]), (0, 0)))
+    if not shared_luts and Tp != step_starts.shape[0]:
+        pad = Tp - step_starts.shape[0]
+        step_starts = jnp.pad(step_starts, ((0, pad), (0, 0)))
+        step_deltas = jnp.pad(step_deltas, ((0, pad), (0, 0)))
     if Tp != T:
         mask = jnp.pad(mask.astype(jnp.uint8), ((0, Tp - T), (0, 0)))
     grid = (Tp // Tc,)
@@ -760,12 +774,13 @@ def unpack_substreams_masked_pallas(
     mask3 = mask.astype(jnp.uint8).reshape(Tp, Sr, 128)
     lut_map = (lambda k: (0, 0)) if shared_luts else (lambda k: (k, 0))
     out = pl.pallas_call(
-        _make_masked_kernel(plain2),
+        _make_masked_kernel(plain2, lut_bits),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Wmax, Sr, 128), lambda k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tc, V), lut_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc, K), lut_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc, K), lut_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Tc, Sr, 128), lambda k: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -777,7 +792,7 @@ def unpack_substreams_masked_pallas(
             pltpu.VMEM((Sr, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(words3, step_luts, mask3)
+    )(words3, step_starts, step_deltas, mask3)
     return out.reshape(Tp, Sp).T[:, :T]
 
 
@@ -1033,17 +1048,22 @@ def pack_lens4_np(lens2d: np.ndarray, singletons: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("T", "V"))
-def luts_from_lens_device(lens_words: jnp.ndarray, singles: jnp.ndarray,
-                          T: int, V: int) -> jnp.ndarray:
-    """Device inverse of pack_lens4_np: nibble-packed canonical code
-    lengths → (T, V) int32 packed (len << 9 | sym) decode planes,
-    bit-identical to huffman.decode_lut_batch.
+def lut_runs_device(lens_words: jnp.ndarray, singles: jnp.ndarray,
+                    T: int, V: int):
+    """Nibble-packed canonical code lengths → per-tree LUT RUNS:
+    (starts (T, 256) int32, deltas (T, 256) int32) in canonical order.
 
     Canonical codes left-align at the running Kraft sum of their (len, sym)
-    predecessors, so each symbol's LUT run starts exactly at that prefix —
-    one tiny per-row sort + entry-delta scatter + cumsum over V rebuilds
-    the full-width planes from 4 bits/symbol of wire (VERDICT r3 next #3:
-    the run words this replaces were the largest non-payload upload)."""
+    predecessors, so symbol i's full-width LUT run starts exactly at that
+    prefix and the plane value at window w is Σ deltas over runs with
+    start <= w (the cumulative-delta identity). The walk kernels evaluate
+    that sum directly with 256 compare columns instead of selecting from a
+    2^lut_bits plane — 16x less VPU work per step at the 12-bit width.
+    Absent symbols share start = the Kraft end (= V for complete codes, so
+    they never match a window; an incomplete corrupt table zero-fills its
+    tail via the first absent slot's negative delta, exactly like
+    decode_lut's unused windows). Zero-bit singleton trees become one
+    all-covering run carrying the symbol."""
     B = (V - 1).bit_length()
     w = lens_words.reshape(T, 32)
     sh = (28 - 4 * jnp.arange(8, dtype=jnp.uint32))
@@ -1060,16 +1080,30 @@ def luts_from_lens_device(lens_words: jnp.ndarray, singles: jnp.ndarray,
     entry = jnp.where(slens > 0, (slens << 9) | ssym, 0)
     prev = jnp.concatenate([jnp.zeros((T, 1), jnp.int32), entry[:, :-1]],
                            axis=1)
+    deltas = entry - prev
+    singles = singles.astype(jnp.int32)
+    single_row = singles[:, None] >= 0
+    col0 = jnp.arange(256, dtype=jnp.int32)[None, :] == 0
+    start = jnp.where(single_row, jnp.where(col0, 0, V), start)
+    deltas = jnp.where(single_row,
+                       jnp.where(col0, singles[:, None], 0), deltas)
+    return start, deltas
+
+
+@functools.partial(jax.jit, static_argnames=("T", "V"))
+def luts_from_lens_device(lens_words: jnp.ndarray, singles: jnp.ndarray,
+                          T: int, V: int) -> jnp.ndarray:
+    """Device inverse of pack_lens4_np: nibble-packed canonical code
+    lengths → (T, V) int32 packed (len << 9 | sym) decode planes,
+    bit-identical to huffman.decode_lut_batch (the expanded form of
+    lut_runs_device, used by the non-pallas decode paths and as the
+    semantic reference in tests)."""
+    start, deltas = lut_runs_device(lens_words, singles, T, V)
     rows = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
                             (T, 256))
-    # absent symbols share start = the Kraft end: V (complete codes) drops;
-    # an incomplete (corrupt) table zero-fills its tail exactly like
-    # decode_lut's unused windows
-    grid = jnp.zeros((T, V), jnp.int32).at[rows, start].add(
-        entry - prev, mode="drop")
-    luts = jnp.cumsum(grid, axis=1)
-    singles = singles.astype(jnp.int32)
-    return jnp.where(singles[:, None] >= 0, singles[:, None], luts)
+    grid = jnp.zeros((T, V), jnp.int32).at[
+        rows, jnp.minimum(start, V)].add(deltas, mode="drop")
+    return jnp.cumsum(grid, axis=1)
 
 
 def dense_words_np(words: np.ndarray, sub_n_words: np.ndarray,

@@ -205,19 +205,25 @@ class ShardedSubblockCodec:
             return fn
         da = self.cfg.data_axis
 
-        def body(q_bw, d_bw, q_sub_s, d_sub_s, lens_s, q_luts, d_luts):
+        def body(q_bw, d_bw, q_sub_s, d_sub_s, lens_s, q_lens4, d_lens4):
             zero = jnp.int32(0)
+            V = 1 << lut_bits
+            Tq = q_lens4.shape[0] // 33
+            q_runs = bitpack.lut_runs_device(
+                q_lens4[: Tq * 32], q_lens4[Tq * 32 :], Tq, V)
+            d_runs = bitpack.lut_runs_device(
+                d_lens4[:32], d_lens4[32:], 1, V)
             q_dense = bitpack.dense_words_banded(
                 q_bw[0], zero, q_sub_s, q_wmax, sp_shard)
             d_dense = bitpack.dense_words_banded(
                 d_bw[0], zero, d_sub_s, d_wmax, sp_shard)
             if variable:
                 qual_t = qmod.decode_device_walk_masked(
-                    q_dense, lens_s, q_luts, L, G, lut_bits, legacy=legacy,
+                    q_dense, lens_s, q_runs, L, G, lut_bits, legacy=legacy,
                     interpret=interpret)
             else:
                 qual_t = qmod.decode_device_walk(
-                    q_dense, lens_s, q_luts, L, Lt, G, lut_bits,
+                    q_dense, lens_s, q_runs, L, Lt, G, lut_bits,
                     legacy=legacy, interpret=interpret)
             v = jnp.arange(L, dtype=jnp.int32)[None, :] < lens_s[:, None]
             keep = (qual_t < 128) & v
@@ -226,7 +232,7 @@ class ShardedSubblockCodec:
                     d_dense, keep, L, G, interpret=interpret)
             else:
                 dna_syms = dmod.decode_huffman_walk(
-                    d_dense, keep, d_luts, L, G, lut_bits,
+                    d_dense, keep, d_runs, L, G, lut_bits,
                     interpret=interpret)
             seq, qual = dmod.restore_ambiguity(dna_syms, qual_t, lens_s)
             if is_delta:

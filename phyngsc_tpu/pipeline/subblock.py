@@ -898,7 +898,7 @@ def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
     step-count guard), per-record lengths only when actually variable
     (uint16 pairs; uniform lengths regenerate from static Lt), decode
     tables as nibble-packed canonical code LENGTHS (4 bits/symbol —
-    bitpack.luts_from_lens_device rebuilds the full planes on device), and
+    bitpack.lut_runs_device turns them into run tables on device), and
     the packed-output alphabet.
 
     Word layout follows bitpack.DENSIFY:
@@ -975,13 +975,19 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
     boundaries don't align with substream groups)."""
     if (codec is not None and p.use_walk and bitpack.DENSIFY == "banded"
             and p.R and codec.can_decode(p.q_sub.shape[0], p.Rp, p.G)):
-        V = 1 << cfg.max_code_len
-        q_luts = p.q_tables.luts(cfg.max_code_len)
-        if q_luts.shape[0] == 0:
-            q_luts = np.zeros((1, V), np.int32)
-        d_luts = (p.d_plan.luts(cfg.max_code_len)
-                  if p.d_plan.mode != dna.MODE_PLAIN
-                  else np.zeros((1, V), np.int32))
+        if p.q_tables.n_trees:
+            q_lens4 = bitpack.pack_lens4_np(p.q_tables.lens,
+                                            p.q_tables.singletons)
+        else:
+            q_lens4 = bitpack.pack_lens4_np(
+                np.zeros((1, 256), np.uint8), np.array([-1], np.int32))
+        if p.d_plan.mode != dna.MODE_PLAIN:
+            d_lens4 = bitpack.pack_lens4_np(
+                p.d_plan.lens_tab[None, :],
+                np.array([p.d_plan.singleton], np.int32))
+        else:
+            d_lens4 = bitpack.pack_lens4_np(
+                np.zeros((1, 256), np.uint8), np.array([-1], np.int32))
         dev = {
             "mesh": True,
             "q_bw": jax.device_put(codec.shard_banded_np(
@@ -993,8 +999,8 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
             "q_sub": jax.device_put(p.q_sub),
             "d_sub": jax.device_put(p.d_sub),
             "lens": jax.device_put(p.lens_pad),
-            "q_luts": jax.device_put(q_luts.astype(np.int32)),
-            "d_luts": jax.device_put(d_luts.astype(np.int32)),
+            "q_luts": jax.device_put(q_lens4),
+            "d_luts": jax.device_put(d_lens4),
         }
         _acct("h2d_bytes", sum(
             int(np.prod(v.shape)) * v.dtype.itemsize
@@ -1116,8 +1122,10 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
     the words arrive group-banded and the walk planes are built by
     dense_words_banded — pure contiguous slices, no sorts (VERDICT r3 next
     #1). banded=False: the r3 linear layout + dense_words. Decode tables
-    arrive as 4-bit canonical code lengths and are rebuilt on device
-    (bitpack.luts_from_lens_device); per-record lengths ship only when
+    arrive as 4-bit canonical code lengths and become per-tree run tables
+    on device (bitpack.lut_runs_device — the walk kernels evaluate entries
+    as cumulative delta sums over 256 run columns instead of selecting
+    from the 2^12 plane); per-record lengths ship only when
     actually variable. Reference decode side this replaces:
     tasks.cpp:957-1101."""
     V = 1 << lut_bits
@@ -1135,13 +1143,13 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
     else:
         R = blob[0].astype(jnp.int32)
         lens = jnp.where(jnp.arange(Rp, dtype=jnp.int32) < R, Lt, 0)
-    q_luts = bitpack.luts_from_lens_device(
+    q_runs = bitpack.lut_runs_device(
         blob[off : off + n_q_trees * 32],
         blob[off + n_q_trees * 32 : off + n_q_trees * 33], n_q_trees, V)
     off += n_q_trees * 33
-    d_luts = None
+    d_runs = None
     if not d_plain:
-        d_luts = bitpack.luts_from_lens_device(
+        d_runs = bitpack.lut_runs_device(
             blob[off : off + 32], blob[off + 32 : off + 33], 1, V)
         off += 33
 
@@ -1163,18 +1171,18 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
                                       interpret=interpret)
     if variable:
         qual_t = quality.decode_device_walk_masked(
-            q_dense, lens, q_luts, L, G, lut_bits, legacy=legacy,
+            q_dense, lens, q_runs, L, G, lut_bits, legacy=legacy,
             interpret=interpret)
     else:
         qual_t = quality.decode_device_walk(
-            q_dense, lens, q_luts, L, Lt, G, lut_bits, legacy=legacy,
+            q_dense, lens, q_runs, L, Lt, G, lut_bits, legacy=legacy,
             interpret=interpret)
     keep = _keep_from_quality(qual_t, lens)
     if d_plain:
         dna_syms = dna.decode_plain_walk(d_dense, keep, L, G,
                                          interpret=interpret)
     else:
-        dna_syms = dna.decode_huffman_walk(d_dense, keep, d_luts, L, G,
+        dna_syms = dna.decode_huffman_walk(d_dense, keep, d_runs, L, G,
                                            lut_bits, interpret=interpret)
     out_tab = None
     if out_w and not is_delta:

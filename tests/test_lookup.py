@@ -107,6 +107,24 @@ from phyngsc_tpu.ops import bitpack, huffman
 from phyngsc_tpu.utils.bitio import BitWriter
 
 
+def _runs_from_planes(planes):
+    """(T, V) LUT planes → (starts (T, 256), deltas (T, 256)) run arrays —
+    the test-side inverse of the kernels' cumulative-delta evaluation."""
+    planes = np.asarray(planes)
+    T, V = planes.shape
+    starts = np.full((T, 256), V, np.int32)
+    deltas = np.zeros((T, 256), np.int32)
+    for t in range(T):
+        d = np.flatnonzero(np.diff(planes[t])) + 1
+        st = np.concatenate([[0], d]).astype(np.int64)
+        vals = planes[t][st]
+        prev = np.concatenate([[0], vals[:-1]])
+        k = min(st.shape[0], 256)
+        starts[t, :k] = st[:k]
+        deltas[t, :k] = (vals - prev)[:k]
+    return starts, deltas
+
+
 def _random_tables(rng, n_trees, alphabet, max_len):
     counts = rng.integers(1, 1000, size=(n_trees, alphabet))
     lens = huffman.build_code_lengths_batch(counts, max_len)
@@ -150,10 +168,11 @@ def test_pallas_walk_matches_py_walk(S, T, n_trees, max_len):
     Sp = dense.shape[1]
     totals_p = np.zeros(Sp, np.int32)
     totals_p[:S] = totals
-    step_luts = luts[tid_vec]
+    st, dl = _runs_from_planes(luts)
     got = np.asarray(bitpack.unpack_substreams_uniform_pallas(
-        jnp.asarray(dense), jnp.asarray(step_luts), jnp.asarray(totals_p),
-        interpret=True))[:S]
+        jnp.asarray(dense), jnp.asarray(st[tid_vec]),
+        jnp.asarray(dl[tid_vec]), jnp.asarray(totals_p),
+        lut_bits=max_len, interpret=True))[:S]
 
     # reference: the python walk over the same streams
     start = np.concatenate([[0], np.cumsum(sub_words)[:-1]])
@@ -186,11 +205,15 @@ def test_pallas_walk_shared_luts():
     Sp = dense.shape[1]
     totals_p = np.zeros(Sp, np.int32)
     totals_p[:S] = totals
-    shared = np.broadcast_to(luts[0], (bitpack._WALK_TC, luts.shape[1]))
+    st, dl = _runs_from_planes(luts[:1])
+    sh_s = np.ascontiguousarray(
+        np.broadcast_to(st[0], (bitpack._WALK_TC, 256)))
+    sh_d = np.ascontiguousarray(
+        np.broadcast_to(dl[0], (bitpack._WALK_TC, 256)))
     got = np.asarray(bitpack.unpack_substreams_uniform_pallas(
-        jnp.asarray(dense), jnp.asarray(np.ascontiguousarray(shared)),
+        jnp.asarray(dense), jnp.asarray(sh_s), jnp.asarray(sh_d),
         jnp.asarray(totals_p), n_steps=T, shared_luts=True,
-        interpret=True))[:S]
+        lut_bits=8, interpret=True))[:S]
     start = np.concatenate([[0], np.cumsum(sub_words)[:-1]])
     valid = np.ones((S, T), bool)
     ref = bitpack._unpack_substreams_py(
