@@ -790,10 +790,10 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
     _walk_env = _os.environ.get("PHYNGSC_WALK", "auto")
     _walk_ok = (_walk_env == "pallas"
                 or (_walk_env == "auto" and jax.default_backend() == "tpu"))
-    # the walk materializes a (G*L, 2**lut_bits) per-step LUT plane; very
-    # long reads (> ~128 bp at G=64) fall back to the XLA walk rather than
-    # allocate hundreds of MB of HBM for it
-    p.use_walk = bool(_walk_ok and R and G * p.L <= 8192)
+    # the walk materializes per-step run tables (2x (G*L, 256) int32) and a
+    # (G*L, Sp) output plane; very long reads (> 256 bp at G=64) fall back
+    # to the XLA walk rather than allocate hundreds of MB of HBM for them
+    p.use_walk = bool(_walk_ok and R and G * p.L <= 16384)
     # banded wire layout: words stay TIGHT here (the whole fused blob is
     # bucketed once in _walk_blob_np; per-stream 16K pads would be pure
     # upload waste)
@@ -956,9 +956,17 @@ def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
             - _banded_last_group_words(p.d_sub) + p.d_wmax * g)
     blob = np.concatenate(pieces)
     if banded:
-        n = -(-max(blob.shape[0], need) // 4096) * 4096
+        # geometric granularity (<= ~6% avg slack) + promotion bounded to
+        # 25% over natural: tail sub-blocks whose records promoted into the
+        # main Rp bucket no longer inherit the FULL blocks' blob size
+        # (measured: two ~0.6 MB tails each shipping a 1.9 MB promoted blob
+        # put decompress H2D at 1.075x of the payload; bounded, quantized
+        # tail sizes land on a handful of values the compile cache keeps)
+        n0 = max(blob.shape[0], need)
+        g = 1 << max(12, n0.bit_length() - 4)
+        n = -(-n0 // g) * g
         if p.buckets is not None:
-            n = p.buckets.pick_words(f"dwalk:{p.Rp}", n)
+            n = p.buckets.pick_words(f"dwalk:{p.Rp}", n, n0 + n0 // 4 + g)
         if n > blob.shape[0]:
             blob = np.concatenate(
                 [blob, np.zeros(n - blob.shape[0], np.uint32)])
