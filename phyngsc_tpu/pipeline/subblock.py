@@ -868,7 +868,10 @@ def _lut_i16(lut: np.ndarray) -> np.ndarray:
 
 def _pack_u16_pairs(vals: np.ndarray) -> np.ndarray:
     v = np.asarray(vals, np.uint32)
-    assert v.size == 0 or int(v.max()) < (1 << 16)
+    if v.size and int(v.max()) >= (1 << 16):
+        # per-lane words are < 2^16 under the walk's step-count guard for
+        # well-formed streams; only a corrupt substream table can get here
+        raise ValueError("corrupt substream table: entry exceeds 16 bits")
     if v.shape[0] % 2:
         v = np.append(v, np.uint32(0))
     return (v[0::2] << np.uint32(16)) | v[1::2]

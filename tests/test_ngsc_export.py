@@ -104,3 +104,14 @@ def test_export_single_record_and_odd_tail():
 def test_export_refuses_empty():
     with pytest.raises(ngsc_export.NgscExportError):
         ngsc_export.export_ngsc(b"")
+
+
+def test_export_u32_overflow_value_stays_char():
+    """A digit string exceeding uint32 cannot round-trip through the
+    reference's numeric coding (%d re-emission) — it must stay a char
+    field and still round-trip byte-exactly."""
+    recs = []
+    for i in range(64):
+        t = b"@big 4294967296%d tail\n" % i
+        recs.append(t + b"ACGT\n+\nIIII\n")
+    _roundtrip(b"".join(recs))

@@ -127,6 +127,44 @@ def test_mesh_sharded_decode_roundtrip(monkeypatch):
     assert calls, "sharded decode did not engage"
 
 
+def test_mesh_sharded_decode_variable_lengths(monkeypatch):
+    """Sharded decode with variable-length records (the masked walk inside
+    shard_map) round-trips and engages the mesh path."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    import numpy as np
+
+    from phyngsc_tpu.parallel import mesh as meshmod
+
+    calls = []
+    orig = meshmod.ShardedSubblockCodec.decode_walk
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(meshmod.ShardedSubblockCodec, "decode_walk", spy)
+    rng = np.random.default_rng(31)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    recs = []
+    for i in range(900):
+        n = int(rng.integers(18, 44))
+        seq = acgt[rng.integers(0, 4, size=n)]
+        qual = rng.integers(33, 70, size=n).astype(np.uint8)
+        recs.append(b"@vm%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + qual.tobytes() + b"\n")
+    data = b"".join(recs)
+    comp = compress_bytes(data, CodecConfig(subblock_input_bytes=1 << 30,
+                                            records_per_substream=16), 1)
+    back = decompress_bytes(comp, CodecConfig(records_per_substream=16,
+                                              data_shards=4))
+    assert back == data
+    assert calls, "sharded decode did not engage"
+
+
 def test_mesh_sharded_matches_single_chip_format():
     import jax
 
