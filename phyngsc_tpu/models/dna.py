@@ -89,6 +89,14 @@ def valid_mask(lens: jnp.ndarray, L: int) -> jnp.ndarray:
 # Ambiguity transfer
 # ---------------------------------------------------------------------------
 
+#: the (char, code) pairs of trans_amb_codes — 19 nonzero entries of a
+#: 256-slot table, so the per-base code is 19 VPU compares instead of a
+#: table machinery pass (the one-hot lookup here measured as the encode
+#: analyze graph's dominant cost once everything else was compare-based)
+_AMB_PAIRS = tuple((int(c), int(AMB_CODE[c]))
+                   for c in np.flatnonzero(AMB_CODE))
+
+
 @jax.jit
 def transfer_ambiguity(seq: jnp.ndarray, qual: jnp.ndarray, lens: jnp.ndarray):
     """Apply the DNA→quality ambiguity transfer.
@@ -100,8 +108,10 @@ def transfer_ambiguity(seq: jnp.ndarray, qual: jnp.ndarray, lens: jnp.ndarray):
     """
     R, L = seq.shape
     v = valid_mask(lens, L)
-    amb_tab = jnp.broadcast_to(jnp.asarray(AMB_CODE, jnp.int32)[None, :], (L, 256))
-    code = lookup.fused_lookup(seq, amb_tab)
+    s32 = seq.astype(jnp.int32)
+    code = jnp.zeros_like(s32)
+    for ch, c in _AMB_PAIRS:
+        code = code + c * (s32 == ch)
     acgt = (code == 1) & v
     amb = (code >= 2) & v
     unknown = (code == 0) & v
