@@ -23,10 +23,15 @@ _H_RC = 1024
 _H_RSUB = 128
 
 
-def _hist_kernel(sym_ref, msk_ref, out_ref):
+def _hist_kernel(sym_ref, out_ref):
+    """Invalid cells arrive pre-masked to the sentinel value A (out of the
+    iota's range), so the inner loop is the bare one-hot compare + row sum
+    — no mask operand, no i8 widen, no AND (measured r4: the 3-op inner
+    loop was ~40% slower and doubled the block's VMEM input traffic)."""
     k = pl.program_id(0)
     RC, L = sym_ref.shape
     A = out_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (_H_RSUB, L, A), 2)
 
     @pl.when(k == 0)
     def _():
@@ -34,13 +39,7 @@ def _hist_kernel(sym_ref, msk_ref, out_ref):
 
     def sub(j, acc):
         s = sym_ref[pl.ds(j * _H_RSUB, _H_RSUB)]
-        # widen BEFORE the minor-dim insert: Mosaic only lowers non-no-op
-        # minor-dim reshapes/broadcasts for 32-bit vectors (an i8
-        # m[:, :, None] fails to compile on current toolchains)
-        m = msk_ref[pl.ds(j * _H_RSUB, _H_RSUB)].astype(jnp.int32)
-        oh = (s[:, :, None]
-              == jax.lax.broadcasted_iota(jnp.int32, (_H_RSUB, L, A), 2))
-        oh = jnp.logical_and(oh, m[:, :, None] != 0)
+        oh = s[:, :, None] == iota
         return acc + jnp.sum(oh.astype(jnp.int32), axis=0)
 
     acc = jax.lax.fori_loop(0, RC // _H_RSUB, sub,
@@ -54,20 +53,19 @@ def position_histogram_pallas(symbols: jnp.ndarray, valid: jnp.ndarray,
                               interpret: bool = False) -> jnp.ndarray:
     """Pallas twin of position_histogram: the (rows, L, A) one-hot lives in
     VMEM tiles and the (L, A) accumulator stays resident across grid blocks
-    (measured 6.05 -> sub-ms at 65536x36x256 on v5e — the XLA scan round-
-    trips its per-chunk one-hot through HBM)."""
+    (the XLA scan round-trips its per-chunk one-hot through HBM). Masking
+    happens OUTSIDE the kernel: invalid cells become the sentinel A, which
+    no iota lane matches."""
     R, L = symbols.shape
     A = alphabet_size
     Lp = -(-L // 8) * 8
     Rp = -(-R // _H_RC) * _H_RC
-    sym = jnp.pad(symbols.astype(jnp.int32), ((0, Rp - R), (0, Lp - L)))
-    msk = jnp.pad(valid.astype(jnp.int8), ((0, Rp - R), (0, Lp - L)))
+    sym = jnp.where(valid, symbols.astype(jnp.int32), A)
+    sym = jnp.pad(sym, ((0, Rp - R), (0, Lp - L)), constant_values=A)
     out = pl.pallas_call(
         _hist_kernel,
         grid=(Rp // _H_RC,),
         in_specs=[
-            pl.BlockSpec((_H_RC, Lp), lambda k: (k, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((_H_RC, Lp), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -75,7 +73,7 @@ def position_histogram_pallas(symbols: jnp.ndarray, valid: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Lp, A), jnp.int32),
         interpret=interpret,
-    )(sym, msk)
+    )(sym)
     return out[:L]
 
 
