@@ -136,7 +136,12 @@ def restore_ambiguity(dna: jnp.ndarray, qual: jnp.ndarray, lens: jnp.ndarray):
     moved = q >= 128
     code = jnp.clip((q - 128 + 16) >> 3, 0, 16)
     orig_q = (q - 128 + 16) - (code << 3) + 33
-    seq = jnp.where(moved, jnp.asarray(AMB_CHAR)[code], dna.astype(jnp.int32))
+    # code -> IUPAC char by 15 compares (a (R, L) gather from the 17-entry
+    # table is the serialized-gather trap; see transfer_ambiguity)
+    amb_ch = jnp.zeros_like(code)
+    for _c in range(2, 17):
+        amb_ch = amb_ch + int(AMB_CHAR[_c]) * (code == _c)
+    seq = jnp.where(moved, amb_ch, dna.astype(jnp.int32))
     qual_out = jnp.where(moved, orig_q, q)
     v = valid_mask(lens, qual.shape[1])
     return (
@@ -231,6 +236,12 @@ def plan(counts: np.ndarray, cfg: CodecConfig) -> DnaPlan:
     return DnaPlan(MODE_HUFFMAN, lens_tab, codes_tab, huffman.singleton_of(counts))
 
 
+def _acgt_chars(vals: jnp.ndarray) -> jnp.ndarray:
+    """2-bit code -> 'ACGT' byte by compares (A=65 C=67 G=71 T=84)."""
+    v = vals.astype(jnp.int32)
+    return (jnp.int32(65) + (v == 1) * 2 + (v == 2) * 6 + (v == 3) * 19)
+
+
 # 2-bit symbol mapping for plain mode (A=0 C=1 G=2 T=3)
 SYM2BIT = np.zeros(256, dtype=np.uint32)
 for _i, _c in enumerate(b"ACGT"):
@@ -292,7 +303,7 @@ def decode_plain(words: jnp.ndarray, sub_n_words: jnp.ndarray,
     within = lay["bit_offsets"] - (lay["sub_word_start"] * 32).repeat(G, axis=0).reshape(R, 1)
     offsets = within + (sub_word_start * 32).repeat(G, axis=0).reshape(R, 1)
     vals = bitpack.extract_fixed_width(words, offsets, widths, R * L).reshape(R, L)
-    nucs = jnp.asarray(ACGT)[vals.astype(jnp.int32)]
+    nucs = _acgt_chars(vals)
     return jnp.where(keep, nucs, 0).astype(jnp.uint8)
 
 
@@ -380,7 +391,7 @@ def decode_plain_walk(words_dense: jnp.ndarray, keep: jnp.ndarray,
     syms = bitpack.unpack_substreams_masked_pallas(
         words_dense, shared, shared, _keep_slot_mask(keep, G, Sp), n_steps=T,
         shared_luts=True, plain2=True, interpret=interpret)[:S]
-    nucs = jnp.asarray(ACGT)[syms.reshape(R, L)]
+    nucs = _acgt_chars(syms.reshape(R, L))
     return jnp.where(keep, nucs, 0).astype(jnp.uint8)
 
 
