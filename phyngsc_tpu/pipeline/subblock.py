@@ -294,55 +294,24 @@ def _lane_unpack_np(words: np.ndarray, w: int, n: int) -> np.ndarray:
     return lanes.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("w", "q6", "exc_cap"))
-def _pack_out(seq, qual, alpha32, lens, w, q6, exc_cap=0):
+@functools.partial(jax.jit, static_argnames=("w", "q6"))
+def _pack_out(seq, qual, alpha32, lens, w, q6):
     """Packed decode-output fetch: the (2, Rp, L) uint8 planes are the
     decompressor's dominant relay/PCIe transfer — the restored alphabet is
-    host-known (DNA plan symbols ∪ restored IUPAC chars), so seq ships as a
-    w-bit alphabet index and quality as q-33 in 6 bits when the range
-    allows. Inverse of ops/transfer's H2D packing, same lane layout.
+    host-known, so seq ships as a w-bit alphabet index and quality as
+    q-33 in 6 bits when the range allows. Inverse of ops/transfer's H2D
+    packing, same lane layout.
 
-    exc_cap > 0 (rich alphabets, w >= 4): seq ships as a 2-bit ACGT plane
-    plus sparse exception words (pos << 8 | byte, position-sorted,
-    0xFFFFFFFF sentinels) — the D2H mirror of the upload-side SEQ_2BIT_EXC.
-    Real IUPAC rates are fractions of a percent, so this roughly halves the
-    seq fetch; blob leads with the true exception count so the host can
-    detect cap overflow and refetch plain (decode_stage_b)."""
-    L = seq.shape[1]
+    Byte -> alphabet index runs as <= 32 unrolled compares: the alphabet
+    is tiny, so this beats any table machinery (a 256-column one-hot
+    lookup here measured ~3 ms of the decode graph, and a 256-table
+    gather 27 ms; sentinel -1 slots never match a byte)."""
     q = qual.astype(jnp.int32).reshape(-1)
     if q6:
         qv = jnp.where(q < 33, 0, q - 33)
         qw = _lane_pack_j(qv, 6)
     else:
         qw = _lane_pack_j(q, 8)
-    if exc_cap:
-        n = seq.shape[0] * L
-        flat = seq.reshape(-1).astype(jnp.int32)
-        is_acgt = ((flat == 65) | (flat == 67) | (flat == 71) | (flat == 84))
-        # A=0 C=1 G=2 T=3 by compares — a 256-table gather here measured
-        # 27 ms for 2.36M elements (the XLA:TPU serialized-gather trap that
-        # made pack_out the decode graph's dominant stage, 3.5x the walks)
-        code = ((flat == 67) * 1 + (flat == 71) * 2
-                + (flat == 84) * 3).astype(jnp.uint32)
-        valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
-                 < lens[:, None]).reshape(-1)
-        exc = valid & ~is_acgt
-        # one single-operand u32 sort: (pos << 8 | byte) — pos < 2^24 is
-        # guaranteed by _out_exc_cap, so valid words sort below the all-ones
-        # sentinel and land position-ordered, the exact wire layout the
-        # host expects
-        w32 = jnp.where(
-            exc, (jnp.arange(n, dtype=jnp.uint32) << 8)
-            | flat.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-        ew = jax.lax.sort(w32, dimension=0)[:exc_cap]
-        count = jnp.sum(exc).astype(jnp.uint32)[None]
-        base2 = jnp.where(exc | ~valid, jnp.uint32(0), code)
-        sw = _lane_pack_j(base2, 2)
-        return jnp.concatenate([count, ew, sw, qw])
-    # byte -> alphabet index by <= 32 unrolled compares: the restored
-    # alphabet is tiny, so this beats any table machinery (a 256-column
-    # one-hot lookup here measured ~3 ms of the decode graph; sentinel -1
-    # slots never match a byte)
     s32 = seq.astype(jnp.int32).reshape(-1)
     idx = jnp.zeros_like(s32)
     for k in range(1, 32):
@@ -604,19 +573,18 @@ def encode_subblock(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig) -> byte
 class _DStage:
     """Decode stage A result: everything parsed/dispatched, the fused
     (seq, qual) device blob pending fetch. out_meta is
-    (alpha, q6, Rp, L, exc_cap) when the blob is lane-packed (see
-    _pack_out), else None; p/dev are retained for the (rare) exception-cap
-    overflow refetch."""
+    (alpha, q6, Rp, L, qual8) when the blob is lane-packed (see
+    _pack_out / _decode_tail), else None."""
 
     __slots__ = ("R", "lens_np", "titles_np", "tlens_np", "blob", "crc",
-                 "out_meta", "p", "dev", "cfg")
+                 "out_meta", "cfg")
 
 
 def decode_stage_a(data: bytes, cfg: CodecConfig, buckets=None,
                    executor=None, codec=None) -> _DStage:
     st = _DStage()
     (st.R, st.lens_np, st.titles_np, st.tlens_np, st.blob,
-     st.crc, st.out_meta, st.p, st.dev) = _decode_dispatch(
+     st.crc, st.out_meta) = _decode_dispatch(
         data, cfg, buckets, executor, codec)
     st.cfg = cfg
     _host_async(st.blob)
@@ -631,38 +599,28 @@ def decode_stage_b(st: _DStage) -> bytes:
     _acct("d2h_bytes", both.nbytes)
     t0 = _tick("d.fetch", t0)
     if st.out_meta is not None:
-        alpha, q6, Rp, L, exc_cap = st.out_meta
+        alpha, q6, Rp, L, qual8 = st.out_meta
         n = Rp * L
-        if exc_cap and int(both[0]) > exc_cap:
-            # pathological non-ACGT density overflowed the exception budget
-            # — refetch with the plain w-bit packing (one extra round trip,
-            # never on realistic data)
-            blob2 = _decode_device(st.p, st.dev, st.cfg, force_plain_out=True)
-            both = np.asarray(blob2)
-            _acct("d2h_bytes", both.nbytes)
-            exc_cap = 0
-        if exc_cap:
-            ew = both[1 : 1 + exc_cap]
-            off = 1 + exc_cap
-            n_sw, n_qw = _out_fetch_words(n, 2, q6)
-            codes = _lane_unpack_np(both[off : off + n_sw], 2, n)
-            seq = np.frombuffer(b"ACGT", np.uint8)[codes]
-            live = ew != 0xFFFFFFFF
-            seq[(ew[live] >> 8).astype(np.int64)] = (
-                ew[live] & 0xFF).astype(np.uint8)
-            seq = seq.reshape(Rp, L)[: st.R]
-            off += n_sw
+        w = _out_width(alpha.shape[0])
+        n_sw, n_qw = _out_fetch_words(n, w, q6 and not qual8)
+        idx = _lane_unpack_np(both[:n_sw], w, n)
+        q = _lane_unpack_np(both[n_sw : n_sw + n_qw],
+                            6 if (q6 and not qual8) else 8, n)
+        if qual8:
+            # host-side ambiguity restore (inverse of phyNGSC.cpp:573-588):
+            # the fetched planes are PRE-restore — kept-symbol alphabet
+            # indices and raw qual_t, whose symbols >= 128 mark transferred
+            # positions (tasks.cpp:1084-1087)
+            qt = q.astype(np.int64)
+            moved = qt >= 128
+            code = np.clip((qt - 112) >> 3, 0, 16)
+            seq = np.where(moved, dna.AMB_CHAR[code], alpha[idx])
+            qual = np.where(moved, qt - 112 - (code << 3) + 33, qt)
         else:
-            w = _out_width(alpha.shape[0])
-            n_sw, n_qw = _out_fetch_words(n, w, q6)
-            seq = alpha[_lane_unpack_np(both[:n_sw], w, n)
-                        ].reshape(Rp, L)[: st.R]
-            off = n_sw
-        if q6:
-            q = _lane_unpack_np(both[off : off + n_qw], 6, n) + 33
-        else:
-            q = _lane_unpack_np(both[off : off + n_qw], 8, n)
-        qual = q.astype(np.uint8).reshape(Rp, L)[: st.R]
+            seq = alpha[idx]
+            qual = q + 33 if q6 else q
+        seq = seq.astype(np.uint8).reshape(Rp, L)[: st.R]
+        qual = qual.astype(np.uint8).reshape(Rp, L)[: st.R]
     else:
         seq, qual = both[0, : st.R], both[1, : st.R]
     if st.tlens_np is None:        # title decode ran on a worker thread
@@ -1057,27 +1015,37 @@ def _out_width(n_alpha: int) -> int:
 
 
 def _decode_tail(qual_t, lens, dna_syms, alpha32, *, is_delta, out_w, q6,
-                 exc_cap=0):
-    """Shared decode-graph tail: ambiguity restore → delta untranslate →
-    packed (or raw) output blob."""
+                 qual8=False):
+    """Shared decode-graph tail.
+
+    qual8 (IUPAC-bearing sub-blocks, DNA alphabet <= 32): ship the
+    PRE-restore planes — kept-symbol alphabet indices + raw 8-bit qual_t —
+    and let the host apply the ambiguity restore (a handful of numpy
+    where's). This deletes the device restore AND the former exception
+    compaction (one u32 sort over R*L, measured ~2-3 ms) from the decode
+    graph; transferred positions are recoverable host-side because they
+    are exactly the qual_t symbols >= 128 (tasks.cpp:1084-1087).
+    Otherwise: ambiguity restore → delta untranslate → packed (small
+    alphabets, w-bit + 6-bit) or raw planes (delta)."""
+    if qual8:
+        return _pack_out(dna_syms, qual_t, alpha32, lens, out_w, False)
     seq_j, qual_j = dna.restore_ambiguity(dna_syms, qual_t, lens)
     if is_delta:
         seq_j = dna.delta_untranslate(seq_j, lens)
     if out_w and not is_delta:
-        return _pack_out(seq_j, qual_j, alpha32, lens, out_w, q6,
-                         exc_cap=exc_cap)
+        return _pack_out(seq_j, qual_j, alpha32, lens, out_w, q6)
     return _fuse_seq_qual(seq_j, qual_j)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "use_pairs", "d_plain", "is_delta", "out_w",
     "q6", "L", "Lt", "G", "pair_bits", "lut_bits", "uniform_len",
-    "exc_cap", "legacy"))
+    "qual8", "legacy"))
 def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
                          luts2, pair_vec, half_vec, q_luts, d_luts, out_tab,
                          *, use_pairs, d_plain, is_delta, out_w, q6,
                          L, Lt, G, pair_bits, lut_bits, uniform_len,
-                         exc_cap=0, legacy=False):
+                         qual8=False, legacy=False):
     """Whole per-sub-block decode graph as ONE executable (non-walk paths:
     pair-LUT gathers and the XLA substream walk — the TPU pallas-walk path
     is _decode_walk_fused): quality decode → keep mask → DNA decode →
@@ -1115,17 +1083,17 @@ def _decode_device_fused(q_words, q_sub, lens, d_words, d_sub,
                                       L, G, lut_bits)
     return _decode_tail(qual_t, lens, dna_syms, out_tab,
                         is_delta=is_delta, out_w=out_w, q6=q6,
-                        exc_cap=exc_cap)
+                        qual8=qual8)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "S", "n_q", "n_d", "Rp", "L", "Lt", "G", "variable",
     "n_q_trees", "lut_bits", "q_wmax", "d_wmax", "sp",
-    "d_plain", "is_delta", "out_w", "q6", "exc_cap", "banded", "legacy",
+    "d_plain", "is_delta", "out_w", "q6", "qual8", "banded", "legacy",
     "interpret"))
 def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
                        n_q_trees, lut_bits, q_wmax, d_wmax, sp,
-                       d_plain, is_delta, out_w, q6, exc_cap=0,
+                       d_plain, is_delta, out_w, q6, qual8=False,
                        banded=False, legacy=False, interpret=False):
     """Whole per-sub-block pallas-walk decode graph over ONE fused H2D blob
     (_walk_blob_np's exact layout; every slice size is a bucketed static so
@@ -1203,26 +1171,12 @@ def _decode_walk_fused(blob, *, S, n_q, n_d, Rp, L, Lt, G, variable,
         out_tab = blob[a_off : a_off + 32].astype(jnp.int32)
     return _decode_tail(qual_t, lens, dna_syms, out_tab,
                         is_delta=is_delta, out_w=out_w, q6=q6,
-                        exc_cap=exc_cap)
+                        qual8=qual8)
 
 
-def _out_exc_cap(Rp: int, L: int, n_alpha: int) -> int:
-    """Exception-word budget for the 2-bit+exceptions output fetch: engages
-    only for rich restored alphabets (w >= 4, where the plain packing pays
-    >= 4 bits/base for sub-percent IUPAC rates); 1/32 of the cells (~3.1%
-    non-ACGT headroom — overflow refetches plain). Positions must fit the
-    24-bit field."""
-    n = Rp * L
-    if n_alpha <= 8 or n >= (1 << 24):
-        return 0
-    return min(-(-(n // 32) // 8192) * 8192, n)
-
-
-def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
-                   force_plain_out: bool = False, codec=None):
+def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig, codec=None):
     """Dispatch the fused decode executable; returns the blob pending one
-    fetch. force_plain_out disables the exception-packed seq fetch (the
-    overflow refetch path, decode_stage_b)."""
+    fetch."""
     if dev.get("mesh"):
         return codec.decode_walk(
             dev["q_bw"], dev["d_bw"], dev["q_sub"], dev["d_sub"],
@@ -1235,8 +1189,9 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
             interpret=jax.default_backend() != "tpu")
     pack = p.out_alpha is not None and not p.is_delta
     out_w = _out_width(p.out_alpha.shape[0]) if pack else 0
-    exc_cap = (0 if (not pack or force_plain_out)
-               else _out_exc_cap(p.Rp, p.L, p.out_alpha.shape[0]))
+    # rich alphabets (> 8 restored symbols = IUPAC-bearing sub-blocks) ship
+    # the PRE-restore planes and restore on host (_decode_tail qual8)
+    qual8 = bool(pack and p.out_alpha.shape[0] > 8)
     if p.use_walk:
         n_q_trees = dev["walk_meta"]
         banded = bitpack.DENSIFY == "banded"
@@ -1258,7 +1213,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
             q_wmax=p.q_wmax, d_wmax=p.d_wmax, sp=p.sp,
             d_plain=p.d_plan.mode == dna.MODE_PLAIN,
             is_delta=bool(p.is_delta), out_w=out_w, q6=bool(p.q6),
-            exc_cap=exc_cap,
+            qual8=qual8,
             legacy=bool(cfg.legacy_tail_trees),
             interpret=jax.default_backend() != "tpu",
         )
@@ -1274,7 +1229,7 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig,
         is_delta=bool(p.is_delta),
         out_w=out_w,
         q6=bool(p.q6),
-        exc_cap=exc_cap,
+        qual8=qual8,
         legacy=bool(cfg.legacy_tail_trees),
         # statics unused by the taken branch are pinned to 0 so they don't
         # key extra executables (e.g. per-raw-read-length Lt when the pair
@@ -1303,10 +1258,9 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None,
     pack = (p.out_alpha is not None and not p.is_delta
             and not dev.get("mesh"))
     out_meta = ((p.out_alpha, p.q6, p.Rp, p.L,
-                 _out_exc_cap(p.Rp, p.L, p.out_alpha.shape[0]))
+                 bool(p.out_alpha.shape[0] > 8))
                 if pack else None)
-    return (p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc, out_meta,
-            p if pack else None, dev if pack else None)
+    return (p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc, out_meta)
 
 
 def _reassemble(R, lens_np, titles_np, tlens_np, seq_np, qual_np) -> bytes:

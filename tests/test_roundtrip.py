@@ -268,38 +268,43 @@ def _iupac_fastq(n, rate, seed=0, read_len=36):
     return b"".join(recs)
 
 
-def test_exception_packed_output_fetch():
+def test_qual8_packed_output_fetch():
     """Rich restored alphabet (> 8 symbols) at a realistic sub-percent
-    IUPAC rate: the decode output ships as a 2-bit ACGT plane + sparse
-    exception words (subblock._pack_out exc path)."""
+    IUPAC rate: the decode output ships PRE-restore (kept-symbol indices +
+    raw 8-bit qual_t) and the host applies the ambiguity restore
+    (subblock._decode_tail qual8 mode)."""
     from phyngsc_tpu.pipeline import subblock as sbmod
 
     cfg = CodecConfig(subblock_input_bytes=256 << 10,
                       records_per_substream=8)
     data = _iupac_fastq(800, rate=0.01, seed=41)
-    # the path must actually engage for this alphabet/shape
-    assert sbmod._out_exc_cap(1024, 36, 15) > 0
-    blob = compress_bytes(data, cfg)
-    assert decompress_bytes(blob, cfg) == data
+    seen = []
+    orig = sbmod._decode_dispatch
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        if out[6] is not None:
+            seen.append(out[6][4])      # out_meta qual8 flag
+        return out
+
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(sbmod, "_decode_dispatch", spy)
+    try:
+        blob = compress_bytes(data, cfg)
+        assert decompress_bytes(blob, cfg) == data
+    finally:
+        mp.undo()
+    assert seen and all(seen), "qual8 fetch mode did not engage"
 
 
-def test_exception_cap_overflow_refetches_plain(monkeypatch):
-    """Pathological non-ACGT density (> the exception budget, floor 8192
-    words) must trigger the plain-packing refetch, still byte-exact."""
-    from phyngsc_tpu.pipeline import subblock as sbmod
-
+def test_qual8_dense_iupac_roundtrip():
+    """Dense non-ACGT content (60% IUPAC) — the case that used to overflow
+    the exception budget — round-trips through the same qual8 fetch with no
+    special casing."""
     data = _iupac_fastq(600, rate=0.6, seed=42)
     cfg = CodecConfig(subblock_input_bytes=256 << 10,
                       records_per_substream=8)
-    calls = {"plain": 0}
-    orig = sbmod._decode_device
-
-    def spy(p, dev, cfg_, force_plain_out=False, codec=None):
-        if force_plain_out:
-            calls["plain"] += 1
-        return orig(p, dev, cfg_, force_plain_out, codec)
-
-    monkeypatch.setattr(sbmod, "_decode_device", spy)
     blob = compress_bytes(data, cfg)
     assert decompress_bytes(blob, cfg) == data
-    assert calls["plain"] > 0, "overflow refetch did not fire"
