@@ -94,8 +94,8 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
 
     def _drain_one():
         nonlocal written
-        w, st = pending.pop(0)
-        chunk = sbmod.decode_stage_b(st)
+        w, fut = pending.pop(0)
+        chunk = fut.result()
         write_at(cursor[w], chunk)
         cursor[w] += len(chunk)
         written += len(chunk)
@@ -105,18 +105,21 @@ def _decode_stream(data, foot: footermod.Footer, cfg: Optional[CodecConfig],
                 f"writer {w} decoded past its region ({cursor[w]} > {lim}): "
                 "corrupt container")
 
-    # host worker pool: title decode (native walk + reassembly — the
-    # dominant decode host stage) runs off the dispatch thread, overlapping
-    # device work of neighboring sub-blocks (numpy + the native runtime
-    # release the GIL); bucket decisions stay on this thread for
-    # deterministic executables (same discipline as the compress driver)
+    # host worker pool: stage B (blob fetch + host restore + FASTQ
+    # reassembly — the decode host wall) and the title decode inside stage A
+    # run off the dispatch thread, so neighboring sub-blocks' host work
+    # overlaps each other and the device (numpy + the native runtime
+    # release the GIL). Chunks still complete IN ORDER: the drain waits on
+    # the oldest future, so per-writer output offsets stay sequential.
+    # Bucket decisions stay on this thread for deterministic executables
+    # (same discipline as the compress driver).
     import concurrent.futures as cf
 
     workers = cfg.host_workers or (os.cpu_count() or 2)
     with cf.ThreadPoolExecutor(max_workers=max(2, workers)) as executor:
         for wid, payload in blockmod.iter_subblocks(blocks()):
-            pending.append((wid, sbmod.decode_stage_a(
-                payload, cfg, buckets, executor, codec)))
+            st = sbmod.decode_stage_a(payload, cfg, buckets, executor, codec)
+            pending.append((wid, executor.submit(sbmod.decode_stage_b, st)))
             if len(pending) >= max(cfg.pipeline_depth, 1):
                 _drain_one()
         while pending:

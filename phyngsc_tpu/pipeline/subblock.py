@@ -610,12 +610,14 @@ def decode_stage_b(st: _DStage) -> bytes:
             # host-side ambiguity restore (inverse of phyNGSC.cpp:573-588):
             # the fetched planes are PRE-restore — kept-symbol alphabet
             # indices and raw qual_t, whose symbols >= 128 mark transferred
-            # positions (tasks.cpp:1084-1087)
-            qt = q.astype(np.int64)
+            # positions (tasks.cpp:1084-1087). int16 throughout: the values
+            # fit and the plane is megabytes per sub-block
+            qt = q.astype(np.int16)
             moved = qt >= 128
             code = np.clip((qt - 112) >> 3, 0, 16)
             seq = np.where(moved, dna.AMB_CHAR[code], alpha[idx])
-            qual = np.where(moved, qt - 112 - (code << 3) + 33, qt)
+            qual = np.where(moved, (qt - 112 - (code << 3) + 33
+                                    ).astype(np.int16), qt)
         else:
             seq = alpha[idx]
             qual = q + 33 if q6 else q
@@ -652,8 +654,8 @@ class _DParsed:
     __slots__ = ("R", "Lt", "L", "Rp", "G", "variable", "is_delta", "crc",
                  "lens_np", "lens_pad", "titles_np", "tlens_np",
                  "q_tables", "q_sub", "q_words", "pplan",
-                 "d_plan", "d_sub", "d_words", "out_alpha", "q6",
-                 "use_walk", "q_wmax", "d_wmax", "sp", "buckets")
+                 "d_plan", "d_sub", "d_words", "out_alpha", "d_alpha",
+                 "q6", "use_walk", "q_wmax", "d_wmax", "sp", "buckets")
 
 
 def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
@@ -812,7 +814,19 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
     alpha = sorted(dsyms | rest_chars)
     p.out_alpha = (np.array(alpha, np.uint8)
                    if 0 < len(alpha) <= 32 and R else None)
+    # qual8 fetch ships KEPT symbols only, so its index plane uses the DNA
+    # alphabet's width (2-3 bits typical) — not the restored alphabet's
+    da = sorted(dsyms)
+    p.d_alpha = (np.array(da, np.uint8)
+                 if p.out_alpha is not None and 0 < len(da) <= 32 else None)
     return p
+
+
+def _qual8_mode(p: _DParsed) -> bool:
+    """Rich restored alphabets (> 8 symbols = IUPAC-bearing sub-blocks)
+    ship pre-restore planes and restore on host (_decode_tail qual8)."""
+    return bool(p.out_alpha is not None and not p.is_delta
+                and p.out_alpha.shape[0] > 8 and p.d_alpha is not None)
 
 
 def _lut_i16(lut: np.ndarray) -> np.ndarray:
@@ -898,8 +912,9 @@ def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
             p.d_plan.lens_tab[None, :],
             np.array([p.d_plan.singleton], np.int32)))
     if p.out_alpha is not None and not p.is_delta:
+        src = p.d_alpha if _qual8_mode(p) else p.out_alpha
         a = np.full(32, 0xFFFFFFFF, np.uint32)
-        a[: p.out_alpha.shape[0]] = p.out_alpha
+        a[: src.shape[0]] = src
         pieces.append(a)
     if banded:
         base = sum(x.shape[0] for x in pieces)
@@ -998,8 +1013,9 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
     if p.d_plan.mode != dna.MODE_PLAIN:
         dev["d_luts"] = jax.device_put(_lut_i16(p.d_plan.luts(cfg.max_code_len)))
     if p.out_alpha is not None:
+        src = p.d_alpha if _qual8_mode(p) else p.out_alpha
         a = np.full(32, -1, np.int32)
-        a[: p.out_alpha.shape[0]] = p.out_alpha
+        a[: src.shape[0]] = src
         dev["out_tab"] = jax.device_put(a)
     _acct("h2d_bytes", sum(int(np.prod(v.shape)) * v.dtype.itemsize
                            for v in dev.values()))
@@ -1188,10 +1204,10 @@ def _decode_device(p: _DParsed, dev: dict, cfg: CodecConfig, codec=None):
             is_delta=bool(p.is_delta),
             interpret=jax.default_backend() != "tpu")
     pack = p.out_alpha is not None and not p.is_delta
-    out_w = _out_width(p.out_alpha.shape[0]) if pack else 0
-    # rich alphabets (> 8 restored symbols = IUPAC-bearing sub-blocks) ship
-    # the PRE-restore planes and restore on host (_decode_tail qual8)
-    qual8 = bool(pack and p.out_alpha.shape[0] > 8)
+    qual8 = _qual8_mode(p)
+    out_w = 0
+    if pack:
+        out_w = _out_width((p.d_alpha if qual8 else p.out_alpha).shape[0])
     if p.use_walk:
         n_q_trees = dev["walk_meta"]
         banded = bitpack.DENSIFY == "banded"
@@ -1257,8 +1273,9 @@ def _decode_dispatch(data: bytes, cfg: CodecConfig, buckets=None,
     # the mesh decode returns raw (2, Rp, L) planes, never the packed fetch
     pack = (p.out_alpha is not None and not p.is_delta
             and not dev.get("mesh"))
-    out_meta = ((p.out_alpha, p.q6, p.Rp, p.L,
-                 bool(p.out_alpha.shape[0] > 8))
+    qual8 = _qual8_mode(p)
+    out_meta = ((p.d_alpha if qual8 else p.out_alpha, p.q6, p.Rp, p.L,
+                 qual8)
                 if pack else None)
     return (p.R, p.lens_np, p.titles_np, p.tlens_np, blob, p.crc, out_meta)
 
