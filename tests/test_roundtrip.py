@@ -308,3 +308,26 @@ def test_qual8_dense_iupac_roundtrip():
                       records_per_substream=8)
     blob = compress_bytes(data, cfg)
     assert decompress_bytes(blob, cfg) == data
+
+
+def test_decompress_h2d_within_5pct_of_payload(monkeypatch):
+    """The fused decode upload stays within 5% of the compressed container
+    bytes (VERDICT r3 next #3): banded words ~= payload, tables as 4-bit
+    lengths, u16 substream tables, geometric blob bucketing. Measured via
+    the pipeline's own transfer accounting on the forced walk path."""
+    import numpy as np
+
+    from phyngsc_tpu.pipeline import subblock as sbmod
+
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    monkeypatch.setenv("PHYNGSC_TIMING", "1")
+    data = synthesize_fastq(60000, read_len=36, seed=13,
+                            ambiguity_rate=0.005)
+    cfg = CodecConfig(subblock_input_bytes=1 << 30,
+                      max_records_per_subblock=1 << 16,
+                      records_per_substream=64)
+    comp = compress_bytes(data, cfg, 1)
+    assert decompress_bytes(comp, cfg) == data
+    h2d = (sbmod.TIMING or {}).get("h2d_bytes", 0.0)
+    assert h2d > 0, "transfer accounting did not run"
+    assert h2d <= len(comp) * 1.05, (h2d, len(comp))
