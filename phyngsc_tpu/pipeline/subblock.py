@@ -815,10 +815,14 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
     p.out_alpha = (np.array(alpha, np.uint8)
                    if 0 < len(alpha) <= 32 and R else None)
     # qual8 fetch ships KEPT symbols only, so its index plane uses the DNA
-    # alphabet's width (2-3 bits typical) — not the restored alphabet's
+    # alphabet's width (2-3 bits typical) — not the restored alphabet's.
+    # It only pays off when transfers exist (rest_chars nonempty): a rich
+    # kept alphabet WITHOUT transfers costs the same wire either way, and
+    # the small mode's device restore is then an identity
     da = sorted(dsyms)
     p.d_alpha = (np.array(da, np.uint8)
-                 if p.out_alpha is not None and 0 < len(da) <= 32 else None)
+                 if (p.out_alpha is not None and rest_chars
+                     and 0 < len(da) <= 32) else None)
     return p
 
 
