@@ -27,7 +27,7 @@ import numpy as np
 
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.models import dna, quality, title
-from phyngsc_tpu.ops import bitpack, lookup, transfer
+from phyngsc_tpu.ops import bitpack, transfer
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter
 from phyngsc_tpu.utils.fastq import RecordIndex
 from phyngsc_tpu.utils.shapes import bucket_length, bucket_records
