@@ -554,9 +554,16 @@ def _assemble_blocks(subblocks: List[bytes]) -> Tuple[List[bytes], int]:
         hdr_len = len(_header_bytes(sbol, 0))
         used = sum(len(c) for c, _, _ in cur)
         room = BLOCK_BYTES - hdr_len - used
-        if len(payload) <= room and len(cur) < 62:
-            cur.append((payload, continued, False))
-            i += 1
+        if len(payload) <= room:
+            if len(cur) < 62:
+                cur.append((payload, continued, False))
+                i += 1
+                continue
+            # chunk-count cap reached but the payload fits: flush and retry
+            # it in a fresh block. Splitting here would emit a zero-length
+            # FSBS continuation chunk — a container shape the reference
+            # writer never produces (ADVICE r4).
+            flush()
             continue
         # split to fill the block exactly; the header width depends on the
         # head size, so iterate to the fixed point

@@ -1038,8 +1038,12 @@ def pack_lens4_np(lens2d: np.ndarray, singletons: np.ndarray) -> np.ndarray:
     pure function of canonical lengths)."""
     lens = np.asarray(lens2d, np.uint32)
     T = lens.shape[0]
-    assert lens.shape[1] == 256 and (lens < 16).all(), \
-        "lens4 wire form requires 256-symbol alphabets and lengths < 16"
+    assert lens.shape[1] == 256, \
+        "lens4 wire form requires 256-symbol alphabets"
+    if not (lens < 16).all():
+        # guards untrusted container data (load_table admits nibble+1 = 16),
+        # so this must survive python -O and raise per the ValueError contract
+        raise ValueError("corrupt table: code length >= 16")
     nib = lens.reshape(T, 32, 8)
     shifts = (28 - 4 * np.arange(8, dtype=np.uint32))
     words = (nib << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)

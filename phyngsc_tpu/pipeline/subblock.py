@@ -28,6 +28,7 @@ import numpy as np
 from phyngsc_tpu.config import CodecConfig
 from phyngsc_tpu.models import dna, quality, title
 from phyngsc_tpu.ops import bitpack, transfer
+from phyngsc_tpu.utils import logging as log
 from phyngsc_tpu.utils.bitio import BitReader, BitWriter
 from phyngsc_tpu.utils.fastq import RecordIndex
 from phyngsc_tpu.utils.shapes import bucket_length, bucket_records
@@ -658,6 +659,21 @@ class _DParsed:
                  "q6", "use_walk", "q_wmax", "d_wmax", "sp", "buckets")
 
 
+def _check_tables(lens2d: np.ndarray, singletons: np.ndarray,
+                  what: str, cfg: CodecConfig) -> None:
+    """Reject corrupt decode tables at parse time (ValueError, per the
+    fuzz-hardening contract): wire code lengths can encode up to 16 but the
+    codec never emits beyond cfg.max_code_len, and singleton symbols must
+    fit the 256-symbol alphabet."""
+    if lens2d.size and int(lens2d.max()) > cfg.max_code_len:
+        raise ValueError(
+            f"corrupt {what} table: code length exceeds max_code_len")
+    s = np.asarray(singletons)
+    if s.size and int(s.max()) >= 256:
+        raise ValueError(
+            f"corrupt {what} table: singleton symbol out of range")
+
+
 def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
                   executor=None) -> _DParsed:
     """executor: optional ThreadPoolExecutor — the host-heavy title decode
@@ -712,6 +728,12 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
     br = BitReader(quality_sec)
     p.q_tables, p.q_sub, q_total = quality.read_header(br)
     br.align()
+    # Validate untrusted tables HERE so every decode path — fused-blob walk,
+    # sharded mesh branch, CPU pair LUTs — sees the same checks (ADVICE r4:
+    # the mesh branch used to bypass them): load_table yields lengths up to
+    # 16 (nibble+1) and 16-bit singleton symbols; anything beyond the codec
+    # cap / alphabet is container corruption, not a recoverable state.
+    _check_tables(p.q_tables.lens, p.q_tables.singletons, "quality", cfg)
 
     # Rp comes from the stored substream-table length, making decode agnostic
     # to the encoder's shard count / bucketing.
@@ -766,6 +788,9 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
 
     br = BitReader(dna_sec)
     p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(br)
+    if p.d_plan.mode != dna.MODE_PLAIN:
+        _check_tables(p.d_plan.lens_tab[None, :],
+                      np.array([p.d_plan.singleton], np.int32), "DNA", cfg)
     if p.d_sub.shape[0] != p.q_sub.shape[0]:
         raise ValueError(
             "corrupt container: DNA substream table length "
@@ -890,14 +915,8 @@ def _walk_blob_np(p: _DParsed, cfg: CodecConfig):
         tables (densified on device by bitpack.dense_words, r3 layout).
     Returns (blob, n_q_trees)."""
     banded = bitpack.DENSIFY == "banded"
-    if p.q_tables.lens.size and \
-            int(p.q_tables.lens.max()) > cfg.max_code_len:
-        raise ValueError(
-            "corrupt quality table: code length exceeds max_code_len")
-    if p.d_plan.lens_tab.size and \
-            int(p.d_plan.lens_tab.max()) > cfg.max_code_len:
-        raise ValueError(
-            "corrupt DNA table: code length exceeds max_code_len")
+    # table validity (code lengths <= max_code_len, singleton range) is
+    # enforced for every path in _decode_parse via _check_tables
     pieces = [np.array([p.R], np.uint32),
               _pack_u16_pairs(p.q_sub), _pack_u16_pairs(p.d_sub)]
     if not banded:
@@ -961,6 +980,13 @@ def _decode_device_inputs(p: _DParsed, cfg: CodecConfig, codec=None) -> dict:
     ShardedSubblockCodec — the walk decode shards over the data mesh axis
     (per-shard banded rows; falls back to single-device when shard
     boundaries don't align with substream groups)."""
+    if (codec is not None and p.use_walk and bitpack.DENSIFY == "banded"
+            and p.R and not codec.can_decode(p.q_sub.shape[0], p.Rp, p.G)):
+        # misaligned S/G/shard geometry: fall through to the single-device
+        # walk below — correctness never depends on the mesh path
+        log.debug("sharded decode fallback: S=%d Rp=%d G=%d not divisible "
+                  "across %d shards; using single-device walk",
+                  p.q_sub.shape[0], p.Rp, p.G, codec.n_data)
     if (codec is not None and p.use_walk and bitpack.DENSIFY == "banded"
             and p.R and codec.can_decode(p.q_sub.shape[0], p.Rp, p.G)):
         if p.q_tables.n_trees:

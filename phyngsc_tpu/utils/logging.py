@@ -23,6 +23,10 @@ if not _logger.handlers:
     _logger.setLevel(os.environ.get("PHYNGSC_LOG", "INFO").upper())
 
 
+def debug(msg: str, *args) -> None:
+    _logger.debug("[D] " + msg, *args)
+
+
 def info(msg: str, *args) -> None:
     _logger.info("[I] " + msg, *args)
 

@@ -95,3 +95,48 @@ def test_property_roundtrip_fuzz(seed):
     )
     blob = compress_bytes(data, CFG, int(rng.integers(1, 4)))
     assert decompress_bytes(blob) == data
+
+
+def test_corrupt_tables_rejected_at_parse(monkeypatch):
+    """Table validation lives in _decode_parse (ADVICE r4): corrupt code
+    lengths (13-16 — representable on the wire, never emitted) and
+    out-of-range singleton symbols raise ValueError BEFORE any decode
+    branch (fused blob, mesh shard, CPU pairs) can consume them."""
+    from phyngsc_tpu.models import quality
+    from phyngsc_tpu.ops import bitpack
+    from phyngsc_tpu.pipeline import subblock
+
+    cfg = CodecConfig()
+    good = np.zeros((2, 256), np.uint8)
+    good[:, 65:69] = 2
+    # code length beyond the codec cap
+    bad_len = good.copy()
+    bad_len[1, 70] = cfg.max_code_len + 1
+    with pytest.raises(ValueError, match="code length"):
+        subblock._check_tables(bad_len, np.array([-1, -1]), "quality", cfg)
+    # singleton symbol outside the 256-symbol alphabet
+    with pytest.raises(ValueError, match="singleton"):
+        subblock._check_tables(good, np.array([-1, 300]), "quality", cfg)
+    subblock._check_tables(good, np.array([-1, -1]), "quality", cfg)
+
+    # wire-form packer contract: length 16 (nibble+1 ceiling) is ValueError,
+    # not AssertionError, and survives python -O
+    worst = np.zeros((1, 256), np.uint8)
+    worst[0, 0] = 16
+    with pytest.raises(ValueError, match="code length"):
+        bitpack.pack_lens4_np(worst, np.array([-1], np.int32))
+
+    # end-to-end: a corrupt table surfacing from read_header is rejected at
+    # parse time on EVERY decode path, including the sharded-mesh branch
+    data = _random_fastq(np.random.default_rng(7), 40, var_len=False)
+    blob = compress_bytes(data, CFG, 1)
+    orig = quality.read_header
+
+    def poison(br):
+        tables, sub, total = orig(br)
+        tables.lens[0, tables.lens[0].argmax()] = cfg.max_code_len + 2
+        return tables, sub, total
+
+    monkeypatch.setattr(quality, "read_header", poison)
+    with pytest.raises(ValueError, match="corrupt quality table"):
+        decompress_bytes(blob)

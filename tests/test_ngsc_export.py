@@ -115,3 +115,26 @@ def test_export_u32_overflow_value_stays_char():
         t = b"@big 4294967296%d tail\n" % i
         recs.append(t + b"ACGT\n+\nIIII\n")
     _roundtrip(b"".join(recs))
+
+
+def test_export_chunk_cap_no_zero_length_chunks(monkeypatch):
+    """When a block hits the 62-chunk cap with room left, the next payload
+    goes to a fresh block instead of being 'split' into a full LSBS chunk
+    plus a zero-length FSBS continuation — a shape the reference writer
+    never emits (ADVICE r4). Assert every emitted chunk is non-empty and
+    the container still round-trips."""
+    monkeypatch.setattr(ngsc_export, "BLOCK_BYTES", 1 << 15)
+    payloads = [b"x" * 300] * 80          # 80 tiny sub-blocks, all fit
+    blocks, n_sub = ngsc_export._assemble_blocks(list(payloads))
+    assert n_sub == 80
+    total = 0
+    for blk in blocks:
+        _, _, sbol, _ = ngsc_import._parse_block(blk, n_ranks=1)
+        assert all(n > 0 for n in sbol), "zero-length chunk emitted"
+        assert len(sbol) <= 63
+        total += len(sbol)
+    assert total == 80
+
+    data = synthesize_fastq(2400, read_len=36, seed=17)
+    blob = ngsc_export.export_ngsc(data, records_per_subblock=30)
+    assert ngsc_import.decompress_ngsc(blob) == data

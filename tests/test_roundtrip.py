@@ -165,6 +165,47 @@ def test_mesh_sharded_decode_variable_lengths(monkeypatch):
     assert calls, "sharded decode did not engage"
 
 
+def test_mesh_sharded_decode_fallback_roundtrip(monkeypatch, caplog):
+    """Misaligned substream geometry (VERDICT r4 next #7): with G=24 the
+    bucketed record count gives S=86 substreams — not divisible into whole
+    DENSE_GROUP groups across 4 shards — so can_decode is False and decode
+    MUST fall back to the single-device walk, still round-tripping
+    byte-exactly and logging the fallback."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setenv("PHYNGSC_WALK", "pallas")
+    import logging as pylogging
+
+    from phyngsc_tpu.parallel import mesh as meshmod
+
+    mesh_calls = []
+    orig = meshmod.ShardedSubblockCodec.decode_walk
+
+    def spy(self, *a, **kw):
+        mesh_calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(meshmod.ShardedSubblockCodec, "decode_walk", spy)
+    cfg = CodecConfig(subblock_input_bytes=1 << 30,
+                      records_per_substream=24, data_shards=4)
+    codec = meshmod.ShardedSubblockCodec(
+        meshmod.make_mesh(4, 1), cfg)
+    from phyngsc_tpu.utils.shapes import bucket_records
+    Rp = bucket_records(1200, 24)
+    assert not codec.can_decode(Rp // 24, Rp, 24), \
+        "geometry unexpectedly aligned — pick a different G"
+    data = synthesize_fastq(1200, read_len=36, seed=27, ambiguity_rate=0.01)
+    comp = compress_bytes(data, CodecConfig(subblock_input_bytes=1 << 30,
+                                            records_per_substream=24), 1)
+    with caplog.at_level(pylogging.DEBUG, logger="phyngsc_tpu"):
+        back = decompress_bytes(comp, cfg)
+    assert back == data
+    assert not mesh_calls, "mesh decode engaged on misaligned geometry"
+    assert any("sharded decode fallback" in r.message for r in caplog.records)
+
+
 def test_mesh_sharded_matches_single_chip_format():
     import jax
 
