@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -378,13 +379,28 @@ def decode_device_walk(words_dense: jnp.ndarray, lens: jnp.ndarray,
     T = G * Lt
     starts, deltas = runs
     n_trees = starts.shape[0]
-    t = jnp.arange(T, dtype=jnp.int32)
-    tid = tree_of_position(t % Lt, n_trees, L, legacy)
     totals = jnp.sum(lens.reshape(S, G).astype(jnp.int32), axis=1)
     totals_p = jnp.pad(totals, (0, words_dense.shape[1] - S))
-    syms = bitpack.unpack_substreams_uniform_pallas(
-        words_dense, starts[tid], deltas[tid], totals_p,
-        lut_bits=lut_bits, interpret=interpret)[:S]
+    if T > bitpack.WALK_PER_STEP_MAX:
+        # long reads (VERDICT r4 next #2): trees are periodic in the record
+        # length, so ship ONE record period of tables — tiled to a multiple
+        # of 8 rows for int32 VMEM tiling — as a shared LUT block whose row
+        # count sets the step tile (T-row per-step tables would cost
+        # hundreds of MB of HBM at 1000 bp)
+        k0 = 8 // math.gcd(Lt, 8)
+        tid = tree_of_position(jnp.arange(Lt, dtype=jnp.int32), n_trees, L,
+                               legacy)
+        st = jnp.tile(starts[tid], (k0, 1))
+        dl = jnp.tile(deltas[tid], (k0, 1))
+        syms = bitpack.unpack_substreams_uniform_pallas(
+            words_dense, st, dl, totals_p, n_steps=T, shared_luts=True,
+            lut_bits=lut_bits, interpret=interpret)[:S, :T]
+    else:
+        t = jnp.arange(T, dtype=jnp.int32)
+        tid = tree_of_position(t % Lt, n_trees, L, legacy)
+        syms = bitpack.unpack_substreams_uniform_pallas(
+            words_dense, starts[tid], deltas[tid], totals_p,
+            lut_bits=lut_bits, interpret=interpret)[:S]
     out = jnp.pad(syms.reshape(R, Lt), ((0, 0), (0, L - Lt)))
     return jnp.where(valid_mask(lens, L), out, 0).astype(jnp.uint8)
 
@@ -409,14 +425,27 @@ def decode_device_walk_masked(words_dense: jnp.ndarray, lens: jnp.ndarray,
     T = G * L
     starts, deltas = runs
     n_trees = starts.shape[0]
-    t = jnp.arange(T, dtype=jnp.int32)
-    tid = tree_of_position(t % L, n_trees, L, legacy)
     v = valid_mask(lens, L)
     Sp = words_dense.shape[1]
-    syms = bitpack.unpack_substreams_masked_pallas(
-        words_dense, starts[tid], deltas[tid],
-        bitpack.slot_mask(v, G, Sp), n_steps=T,
-        lut_bits=lut_bits, interpret=interpret)[:S]
+    if T > bitpack.WALK_PER_STEP_MAX:
+        # slot trees are periodic in the bucketed width L (see
+        # decode_device_walk's long-read path; L is a multiple of 4 so the
+        # tile factor is at most 2)
+        k0 = 8 // math.gcd(L, 8)
+        tid = tree_of_position(jnp.arange(L, dtype=jnp.int32), n_trees, L,
+                               legacy)
+        st = jnp.tile(starts[tid], (k0, 1))
+        dl = jnp.tile(deltas[tid], (k0, 1))
+        syms = bitpack.unpack_substreams_masked_pallas(
+            words_dense, st, dl, bitpack.slot_mask(v, G, Sp), n_steps=T,
+            shared_luts=True, lut_bits=lut_bits, interpret=interpret)[:S]
+    else:
+        t = jnp.arange(T, dtype=jnp.int32)
+        tid = tree_of_position(t % L, n_trees, L, legacy)
+        syms = bitpack.unpack_substreams_masked_pallas(
+            words_dense, starts[tid], deltas[tid],
+            bitpack.slot_mask(v, G, Sp), n_steps=T,
+            lut_bits=lut_bits, interpret=interpret)[:S]
     out = syms.reshape(R, L)
     return jnp.where(v, out, 0).astype(jnp.uint8)
 

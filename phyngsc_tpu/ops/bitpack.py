@@ -562,6 +562,12 @@ def unpack_substreams_pairs(words: jnp.ndarray, sub_word_start: jnp.ndarray,
 #: steps per grid block (output tile rows / LUT rows per block)
 _WALK_TC = 128
 
+#: per-STEP LUT-table cap: beyond G*L steps the (T, 256) run tables cost
+#: hundreds of MB of HBM, so callers switch to PERIOD-tiled shared tables
+#: (one record period tiled to the block size — quality.decode_device_walk;
+#: VERDICT r4 next #2 lifts the old hard use_walk ceiling at this value)
+WALK_PER_STEP_MAX = 16384
+
 
 def _make_walk_kernel(lut_bits: int):
     """Uniform walk kernel: the per-step decode table arrives as canonical
@@ -647,7 +653,11 @@ def unpack_substreams_uniform_pallas(
     K = step_starts.shape[1]
     assert Sp % 128 == 0, "pad substream lanes to a multiple of 128"
     Sr = Sp // 128
-    Tc = _WALK_TC
+    # shared tables set the step tile: every grid block reuses the SAME
+    # (Tc, K) LUT block, so a caller with periodic trees (period Lt) passes
+    # tables tiled to Tc = k*Lt and steps stay tree-aligned across blocks
+    # (long reads: (T, 256) per-step tables would not fit — WALK_PER_STEP_MAX)
+    Tc = step_starts.shape[0] if shared_luts else _WALK_TC
     Tp = -(-T // Tc) * Tc
     if not shared_luts and Tp != T:
         step_starts = jnp.pad(step_starts, ((0, Tp - T), (0, 0)))
@@ -761,7 +771,8 @@ def unpack_substreams_masked_pallas(
     K = step_starts.shape[1]
     assert Sp % 128 == 0, "pad substream lanes to a multiple of 128"
     Sr = Sp // 128
-    Tc = _WALK_TC
+    # see unpack_substreams_uniform_pallas: shared tables set the step tile
+    Tc = step_starts.shape[0] if shared_luts else _WALK_TC
     Tp = -(-T // Tc) * Tc
     if not shared_luts and Tp != step_starts.shape[0]:
         pad = Tp - step_starts.shape[0]

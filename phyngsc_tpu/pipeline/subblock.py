@@ -20,6 +20,7 @@ symbol count (tasks.cpp:986 mirror).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -659,6 +660,34 @@ class _DParsed:
                  "q6", "use_walk", "q_wmax", "d_wmax", "sp", "buckets")
 
 
+#: usable VMEM budget for ONE walk-kernel invocation (TPU cores have ~16 MiB
+#: VMEM; leave headroom for Mosaic spills / double buffering). The gate uses
+#: it to decide pallas walk vs XLA walk per sub-block — a *capacity* rule,
+#: not the old G*L step cap (VERDICT r4 next #2).
+_WALK_VMEM_BUDGET = 10 << 20
+
+
+def _walk_mem_ok(q_sub: np.ndarray, d_sub: np.ndarray, G: int, L: int,
+                 Lt: int, variable: bool) -> bool:
+    """Would the pallas walk's VMEM working set fit? Pieces per kernel:
+    the dense (Wmax, Sp) word plane (fully resident), one (Tc, Sp) output
+    tile, two (Tc, 256) LUT-run tiles, and the (Tc, Sp) slot-mask tile on
+    the masked path. Long reads switch to period-tiled shared tables
+    (Tc = k*period), so the step count no longer bounds anything — only
+    these tiles do."""
+    q_wmax, sp = bitpack.dense_geometry(q_sub)
+    d_wmax, _ = bitpack.dense_geometry(d_sub)
+    period = L if variable else max(Lt, 1)
+    if G * period <= bitpack.WALK_PER_STEP_MAX:
+        tc = bitpack._WALK_TC
+    else:
+        tc = (8 // math.gcd(period, 8)) * period
+    plane = max(q_wmax, d_wmax) * sp * 4
+    need = (plane + tc * sp * 4 + 2 * tc * 256 * 4
+            + (tc * sp if variable else 0))
+    return need <= _WALK_VMEM_BUDGET
+
+
 def _check_tables(lens2d: np.ndarray, singletons: np.ndarray,
                   what: str, cfg: CodecConfig) -> None:
     """Reject corrupt decode tables at parse time (ValueError, per the
@@ -772,10 +801,26 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
     _walk_env = _os.environ.get("PHYNGSC_WALK", "auto")
     _walk_ok = (_walk_env == "pallas"
                 or (_walk_env == "auto" and jax.default_backend() == "tpu"))
-    # the walk materializes per-step run tables (2x (G*L, 256) int32) and a
-    # (G*L, Sp) output plane; very long reads (> 256 bp at G=64) fall back
-    # to the XLA walk rather than allocate hundreds of MB of HBM for them
-    p.use_walk = bool(_walk_ok and R and G * p.L <= 16384)
+
+    # DNA header parsed BEFORE the walk decision so feasibility sees both
+    # word planes (the sections are independent byte strings)
+    dbr = BitReader(dna_sec)
+    p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(dbr)
+    if p.d_plan.mode != dna.MODE_PLAIN:
+        _check_tables(p.d_plan.lens_tab[None, :],
+                      np.array([p.d_plan.singleton], np.int32), "DNA", cfg)
+    if p.d_sub.shape[0] != p.q_sub.shape[0]:
+        raise ValueError(
+            "corrupt container: DNA substream table length "
+            f"{p.d_sub.shape[0]} != quality's {p.q_sub.shape[0]}")
+    p.is_delta = p.is_delta or is_delta_hdr
+    dbr.align()
+
+    # the walk covers ANY read length (long reads use period-tiled shared
+    # tables, quality.decode_device_walk) — the gate is real memory
+    # feasibility, not a step-count cap (VERDICT r4 next #2)
+    p.use_walk = bool(_walk_ok and R and _walk_mem_ok(
+        p.q_sub, p.d_sub, G, p.L, p.Lt, variable))
     # banded wire layout: words stay TIGHT here (the whole fused blob is
     # bucketed once in _walk_blob_np; per-stream 16K pads would be pure
     # upload waste)
@@ -786,18 +831,7 @@ def _decode_parse(data: bytes, cfg: CodecConfig, buckets=None,
     p.pplan = (quality.pair_plan(p.q_tables, Lt, cfg.legacy_tail_trees)
                if (not variable and R and not p.use_walk) else None)
 
-    br = BitReader(dna_sec)
-    p.d_plan, p.d_sub, d_total, is_delta_hdr = dna.read_header(br)
-    if p.d_plan.mode != dna.MODE_PLAIN:
-        _check_tables(p.d_plan.lens_tab[None, :],
-                      np.array([p.d_plan.singleton], np.int32), "DNA", cfg)
-    if p.d_sub.shape[0] != p.q_sub.shape[0]:
-        raise ValueError(
-            "corrupt container: DNA substream table length "
-            f"{p.d_sub.shape[0]} != quality's {p.q_sub.shape[0]}")
-    p.is_delta = p.is_delta or is_delta_hdr
-    br.align()
-    d_raw = bitpack.bytes_to_words(br.get_bytes(4 * d_total))
+    d_raw = bitpack.bytes_to_words(dbr.get_bytes(4 * d_total))
     p.d_words = d_raw if _banded else _padded(d_raw, "dec_d")
 
     # walk dense-plane geometry (device-side densify, bitpack.
