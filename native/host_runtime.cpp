@@ -259,6 +259,72 @@ void phyngsc_title_scan(const uint8_t *titles, const int32_t *tlens,
   }
 }
 
+// Numeric-field mode-planner statistics in ONE row-major pass over the
+// title scan's (R, F) value matrix (models/title._numeric_pre twin — the
+// numpy version pays ~6 strided passes; title analyze is on the compress
+// critical path, reference AnalyzeTitleFields tasks.cpp:63-143):
+// per field f: vmin/vmax, delta min/max, and per B-record block: const,
+// delta-const, first delta (0 when the block has < 2 records — matching the
+// pad-with-last-value semantics of the numpy path).
+void phyngsc_numeric_stats(const int64_t *V, int64_t R, int64_t F,
+                           int64_t stride,                   // row stride of V
+                           int64_t B,
+                           int64_t *vmin, int64_t *vmax,     // (F,)
+                           int64_t *dmin, int64_t *dmax,     // (F,)
+                           int64_t *first_d,                 // (nB, F)
+                           uint8_t *bconst, uint8_t *bdconst // (nB, F)
+) {
+  const int64_t nB = (R + B - 1) / B;
+  for (int64_t f = 0; f < F; ++f) {
+    vmin[f] = INT64_MAX; vmax[f] = INT64_MIN;
+    dmin[f] = INT64_MAX; dmax[f] = INT64_MIN;
+  }
+#pragma omp parallel
+  {
+    std::vector<int64_t> lvmin(F, INT64_MAX), lvmax(F, INT64_MIN);
+    std::vector<int64_t> ldmin(F, INT64_MAX), ldmax(F, INT64_MIN);
+#pragma omp for schedule(static)
+    for (int64_t g = 0; g < nB; ++g) {
+      const int64_t r0 = g * B;
+      const int64_t r1 = std::min(r0 + B, R);
+      int64_t *fd = first_d + g * F;
+      uint8_t *bc = bconst + g * F;
+      uint8_t *bd = bdconst + g * F;
+      for (int64_t f = 0; f < F; ++f) {
+        fd[f] = 0;
+        bc[f] = 1;
+        bd[f] = (r1 - r0 >= 2) ? 1 : 0;
+      }
+      for (int64_t r = r0; r < r1; ++r) {
+        const int64_t *row = V + r * stride;
+        const int64_t *nxt = row + stride; // valid while r < R-1
+        for (int64_t f = 0; f < F; ++f) {
+          const int64_t v = row[f];
+          if (v < lvmin[f]) lvmin[f] = v;
+          if (v > lvmax[f]) lvmax[f] = v;
+          if (r + 1 < R) { // delta r->r+1 belongs to this block's rows
+            const int64_t d = nxt[f] - v;
+            if (d < ldmin[f]) ldmin[f] = d;
+            if (d > ldmax[f]) ldmax[f] = d;
+            if (r + 1 < r1) { // interior delta
+              if (r == r0) fd[f] = d;
+              else if (d != fd[f]) bd[f] = 0;
+              if (d != 0) bc[f] = 0;
+            }
+          }
+        }
+      }
+    }
+#pragma omp critical
+    for (int64_t f = 0; f < F; ++f) {
+      if (lvmin[f] < vmin[f]) vmin[f] = lvmin[f];
+      if (lvmax[f] > vmax[f]) vmax[f] = lvmax[f];
+      if (ldmin[f] < dmin[f]) dmin[f] = ldmin[f];
+      if (ldmax[f] > dmax[f]) dmax[f] = ldmax[f];
+    }
+  }
+}
+
 // FASTQ text reassembly: per-record memcpy of title/seq/qual rows into the
 // output buffer at precomputed record offsets (twin of the decompressor's
 // subblock._reassemble scatter — the numpy fancy-indexing version builds

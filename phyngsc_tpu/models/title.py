@@ -249,31 +249,116 @@ def plan_numeric_scan(vals: np.ndarray, ok: np.ndarray,
     return _numeric_plan_from_values(vals, max_code_len)
 
 
-def _numeric_plan_from_values(vals: np.ndarray,
-                              max_code_len: int = 12) -> NumericPlan:
+class _NumPre:
+    """Batched per-field numeric statistics: the mode planners' reductions
+    (min/max/diff/block constancy) computed for ALL fields in one matrix
+    pass each instead of ~10 strided passes per field — title analyze sits
+    on the compress critical path at scale (VERDICT r4 next #4). Plans are
+    bit-identical to the per-field path (same reductions, same padding)."""
+
+    __slots__ = ("vmin", "vmax", "dT", "dmin", "dmax",
+                 "cnt", "const", "dconst", "first_d", "nB", "blocks")
+
+
+def _numeric_pre(V: np.ndarray) -> _NumPre:
+    """One field-major transpose, then every reduction runs over contiguous
+    rows (axis-0 reductions on the (R, F) layout stride F*8 bytes and run
+    ~5x slower). Block statistics reproduce the padded per-field path
+    exactly: padding repeats the last value, so padded comparisons are
+    always-equal no-ops."""
+    R, F = V.shape
+    pre = _NumPre()
+    if R >= 2:
+        from phyngsc_tpu.utils import native
+
+        B = BLOCK_RECORDS
+        ns = native.numeric_stats(V, B)
+        if ns is not None:
+            pre.vmin, pre.vmax = ns["vmin"], ns["vmax"]
+            pre.dmin, pre.dmax = ns["dmin"], ns["dmax"]
+            pre.dT = None            # deltas rebuilt lazily per NUM_HUF field
+            pre.blocks = True
+            nB = (R + B - 1) // B
+            pre.nB = nB
+            pre.cnt = np.clip(np.minimum(np.arange(nB) * -B + R, B), 1, B)
+            pre.const = ns["const"]
+            pre.dconst = ns["dconst"]
+            pre.first_d = ns["first_d"]
+            return pre
+    VT = np.ascontiguousarray(V.T)                               # (F, R)
+    pre.vmin = VT.min(axis=1)
+    pre.vmax = VT.max(axis=1)
+    pre.dT = None
+    pre.blocks = False
+    if R < 2:
+        return pre
+    dT = np.diff(VT, axis=1)                                     # (F, R-1)
+    pre.dT = dT
+    pre.dmin = dT.min(axis=1)
+    pre.dmax = dT.max(axis=1)
+    B = BLOCK_RECORDS
+    nB = (R + B - 1) // B
+    pre.nB = nB
+    pre.blocks = True
+    cnt = np.clip(np.minimum(np.arange(nB) * -B + R, B), 1, B)
+    pre.cnt = cnt
+    pad = nB * B - R
+    V3 = np.concatenate([VT, np.repeat(VT[:, -1:], pad, axis=1)],
+                        axis=1).reshape(F, nB, B)
+    pre.const = np.all(V3 == V3[:, :, :1], axis=2).T             # (nB, F)
+    D3 = np.diff(V3, axis=2)                                     # (F,nB,B-1)
+    first_d = D3[:, :, 0]
+    dmask = np.arange(1, B)[None, None, :] < cnt[None, :, None]
+    pre.first_d = first_d.T
+    pre.dconst = (np.all((D3 == first_d[:, :, None]) | ~dmask, axis=2)
+                  & (cnt >= 2)[None, :]).T
+    return pre
+
+
+def _numeric_plan_from_values(vals: np.ndarray, max_code_len: int = 12,
+                              pre: Optional[_NumPre] = None,
+                              f: int = 0) -> NumericPlan:
     """Pick the cheapest numeric mode by EXACT emitted bits — every
     candidate's total includes its full header as write_header serializes
     it (kind 1 + mode 1 + width 7 = 9 common bits, 64-bit base/first words,
     exact store_table cost), so borderline fields can never flip to a mode
-    that actually emits more (VERDICT r2 weak #6)."""
+    that actually emits more (VERDICT r2 weak #6). pre/f: batched stats
+    from _numeric_pre (column f), same values as the local reductions."""
     R = vals.shape[0]
-    vmin, vmax = int(vals.min()), int(vals.max())
+    if pre is not None:
+        vmin, vmax = int(pre.vmin[f]), int(pre.vmax[f])
+    else:
+        vmin, vmax = int(vals.min()), int(vals.max())
     width_v = bit_length(vmax - vmin) if vmax > vmin else 0
     best = NumericPlan(KIND_NUMERIC, NUM_VALUE, width_v, vmin)
     best_bits = 9 + 64 + R * width_v
-    d = np.diff(vals) if R >= 2 else None
-    if d is not None:
-        dmin, dmax = int(d.min()), int(d.max())
+    d_fn = None
+    if R >= 2:
+        if pre is not None:
+            dmin, dmax = int(pre.dmin[f]), int(pre.dmax[f])
+            if pre.dT is not None:
+                dT = pre.dT
+                d_fn = lambda: dT[f]                          # noqa: E731
+            else:
+                # native pre keeps no delta rows; NUM_HUF-eligible fields
+                # (small delta range) rebuild them from the column
+                d_fn = lambda: np.diff(vals)                  # noqa: E731
+        else:
+            d_arr = np.diff(vals)
+            dmin, dmax = int(d_arr.min()), int(d_arr.max())
+            d_fn = lambda: d_arr                              # noqa: E731
         width_d = bit_length(dmax - dmin) if dmax > dmin else 0
         bits_d = 9 + 128 + (R - 1) * width_d
         if bits_d < best_bits:
             best = NumericPlan(KIND_NUMERIC, NUM_DELTA, width_d, dmin,
                                int(vals[0]))
             best_bits = bits_d
-    blk = _plan_numeric_block(vals, vmin, width_v)
+    blk = _plan_numeric_block(vals, vmin, width_v, pre, f)
     if blk is not None and blk[1] < best_bits:
         best, best_bits = blk
-    huf = _plan_numeric_huf(vals, d, vmin, vmax, width_v, max_code_len)
+    huf = _plan_numeric_huf(vals, d_fn, dmin if d_fn else 0,
+                            dmax if d_fn else 0, vmin, vmax, width_v,
+                            max_code_len)
     if huf is not None and huf[1] < best_bits:
         best, best_bits = huf
     return best
@@ -293,11 +378,13 @@ def _table_cost_bits(lens: np.ndarray, singleton: int = -1) -> int:
     return 16 + 8 * ((lens.shape[0] + 7) // 8) + 4 * n
 
 
-def _plan_numeric_huf(vals, d, vmin: int, vmax: int, width_v: int,
-                      max_code_len: int):
+def _plan_numeric_huf(vals, d_fn, dmin: int, dmax: int, vmin: int, vmax: int,
+                      width_v: int, max_code_len: int):
     """Shared-tree Huffman candidates over values / deltas, range <= 512
     (tasks.cpp:338-347 / HUF_GLOBAL_SIZE parity): returns (plan, exact bits)
-    of the better of the two, or None when neither range qualifies."""
+    of the better of the two, or None when neither range qualifies. d_fn is
+    a lazy delta supplier (materialized only for eligible small ranges) with
+    dmin/dmax precomputed by the caller."""
     best = None
     cap = min(MAX_HUF_RANGE, 1 << max_code_len)  # Kraft-feasible alphabets only
     A = vmax - vmin + 1
@@ -310,10 +397,10 @@ def _plan_numeric_huf(vals, d, vmin: int, vmax: int, width_v: int,
         best = (NumericPlan(KIND_NUMERIC, NUM_HUF, width_v, vmin,
                             hsub=NUM_VALUE, alpha=A, huf_lens=lens,
                             huf_sing=sing), bits)
-    if d is not None and d.shape[0]:
-        dmin, dmax = int(d.min()), int(d.max())
+    if d_fn is not None:
         Ad = dmax - dmin + 1
         if 2 <= Ad <= cap:
+            d = d_fn()
             # record 0 emits symbol 0 (decode overwrites d[0]; `first`
             # carries the true value) — included in the histogram
             enc = np.concatenate([[0], (d - dmin).astype(np.int64)])
@@ -330,7 +417,8 @@ def _plan_numeric_huf(vals, d, vmin: int, vmax: int, width_v: int,
     return best
 
 
-def _plan_numeric_block(vals: np.ndarray, vmin: int, width_v: int):
+def _plan_numeric_block(vals: np.ndarray, vmin: int, width_v: int,
+                        pre: Optional[_NumPre] = None, f: int = 0):
     """Per-32-record-block descriptors (NUM_BLOCK): returns (plan, bits) or
     None. Each block is constant (one value), delta-constant (first + step)
     or raw (count × width_v); 2 flag bits per block. Wins on tile-sorted
@@ -339,16 +427,22 @@ def _plan_numeric_block(vals: np.ndarray, vmin: int, width_v: int):
     B = BLOCK_RECORDS
     if R < 2 or width_v == 0:
         return None
-    nB = (R + B - 1) // B
-    pad = nB * B - R
-    V = np.concatenate([vals, np.repeat(vals[-1:], pad)]).reshape(nB, B)
-    cnt = np.minimum(np.arange(nB) * -B + R, B)  # records in each block
-    cnt = np.clip(cnt, 1, B)
-    const = np.all(V == V[:, :1], axis=1)
-    D = np.diff(V, axis=1)                        # padded tail deltas are 0
-    dmask = np.arange(1, B)[None, :] < cnt[:, None]
-    first_d = D[:, 0]
-    dconst = np.all((D == first_d[:, None]) | ~dmask, axis=1) & (cnt >= 2)
+    if pre is not None and pre.blocks:
+        nB, cnt = pre.nB, pre.cnt
+        const = pre.const[:, f]
+        first_d = pre.first_d[:, f]
+        dconst = pre.dconst[:, f]
+    else:
+        nB = (R + B - 1) // B
+        pad = nB * B - R
+        V = np.concatenate([vals, np.repeat(vals[-1:], pad)]).reshape(nB, B)
+        cnt = np.minimum(np.arange(nB) * -B + R, B)  # records in each block
+        cnt = np.clip(cnt, 1, B)
+        const = np.all(V == V[:, :1], axis=1)
+        D = np.diff(V, axis=1)                    # padded tail deltas are 0
+        dmask = np.arange(1, B)[None, :] < cnt[:, None]
+        first_d = D[:, 0]
+        dconst = np.all((D == first_d[:, None]) | ~dmask, axis=1) & (cnt >= 2)
     zz = np.where(first_d < 0, (np.abs(first_d) << 1) - 1, first_d << 1)
     use_d = dconst & ~const
     wzd = bit_length(int(zz[use_d].max())) if bool(use_d.any()) else 0
@@ -360,11 +454,13 @@ def _plan_numeric_block(vals: np.ndarray, vmin: int, width_v: int):
     # for delta, raw records at width_v
     bits = int(2 * nB + width_v * (np.sum(~raw) + np.sum(cnt[raw]))
                + wzd * int(use_d.sum())) + 87
-    a = (V[:, 0].astype(np.int64) - vmin).astype(np.uint64)
+    a = (vals[np.arange(nB, dtype=np.int64) * B].astype(np.int64)
+         - vmin).astype(np.uint64)
     # raw blocks store only their real records, row-major
     if raw.any():
-        m = np.arange(B)[None, :] < cnt[raw][:, None]
-        blk_raw = (V[raw] - vmin).astype(np.uint64)[m]
+        blk_raw = (np.concatenate(
+            [vals[g * B : g * B + int(cnt[g])]
+             for g in np.flatnonzero(raw)]) - vmin).astype(np.uint64)
     else:
         blk_raw = np.zeros(0, np.uint64)
     plan = NumericPlan(KIND_NUMERIC, NUM_BLOCK, width_v, vmin, 0, wzd,
@@ -589,11 +685,20 @@ def analyze(titles: np.ndarray, tlens: np.ndarray, cfg: CodecConfig,
             ctx: Optional[TitleContext] = None) -> TitlePlan:
     ctx = ctx or TitleContext.build(titles, tlens)
     fields = []
+    R = titles.shape[0]
+    pre = allok = None
+    if ctx.scan_numeric_ok is not None and R:
+        allok = np.all(ctx.scan_numeric_ok, axis=0)      # (F,) one pass
+        if bool(np.any(allok[: ctx.tok.n_fields])):
+            pre = _numeric_pre(ctx.scan_values)
     for f in range(ctx.tok.n_fields):
         flens = ctx.tok.lens[:, f]
         if ctx.scan_numeric_ok is not None:
-            p = plan_numeric_scan(ctx.scan_values[:, f],
-                                  ctx.scan_numeric_ok[:, f], cfg.max_code_len)
+            # batched fast path: same decision as plan_numeric_scan, with
+            # the reductions shared across fields (_NumPre)
+            p = (_numeric_plan_from_values(ctx.scan_values[:, f],
+                                           cfg.max_code_len, pre, f)
+                 if allok is not None and bool(allok[f]) else None)
         else:
             p = plan_numeric(ctx.content(f), flens, cfg.max_code_len)
         if p is None:

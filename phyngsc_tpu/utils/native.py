@@ -127,6 +127,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, i32p, i32p, i64p, i64p, i32p, i64p, i32p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
+    if hasattr(lib, "phyngsc_numeric_stats"):
+        lib.phyngsc_numeric_stats.restype = None
+        lib.phyngsc_numeric_stats.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i64p, i64p, i64p, i64p, i64p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
     if hasattr(lib, "phyngsc_unpack_substreams"):
         lib.phyngsc_unpack_substreams.restype = None
         lib.phyngsc_unpack_substreams.argtypes = [
@@ -201,11 +208,14 @@ def title_scan(titles: np.ndarray, tlens: np.ndarray, separators: bytes,
     sep_tab = np.zeros(256, np.uint8)
     for c in separators:
         sep_tab[c] = 1
-    nsep = np.zeros(R, np.int32)
-    sep_pos = np.zeros((R, max_seps), np.int32)
-    sep_chars = np.zeros((R, max_seps), np.uint8)
-    values = np.zeros((R, max_seps + 1), np.int64)
-    numeric_ok = np.zeros((R, max_seps + 1), np.uint8)
+    # np.empty, not zeros: consumers only read sep_pos/chars[:, :nsep] and
+    # values/numeric_ok[:, :nsep+1], all of which the scan writes (zeroing
+    # these (R, 32) planes cost more than the scan itself at 64K records)
+    nsep = np.empty(R, np.int32)
+    sep_pos = np.empty((R, max_seps), np.int32)
+    sep_chars = np.empty((R, max_seps), np.uint8)
+    values = np.empty((R, max_seps + 1), np.int64)
+    numeric_ok = np.empty((R, max_seps + 1), np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.phyngsc_title_scan(
         titles.ctypes.data, tlens.ctypes.data_as(i32p), R, TL,
@@ -215,6 +225,38 @@ def title_scan(titles: np.ndarray, tlens: np.ndarray, separators: bytes,
     )
     return {"nsep": nsep, "sep_pos": sep_pos, "sep_chars": sep_chars,
             "values": values, "numeric_ok": numeric_ok.astype(bool)}
+
+
+def numeric_stats(V: np.ndarray, B: int):
+    """One-pass numeric-field planner statistics over the (R, F) title
+    value matrix (twin of models/title._numeric_pre's numpy reductions).
+    Returns dict or None when unavailable. Requires R >= 2."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_numeric_stats"):
+        return None
+    V = np.asarray(V, dtype=np.int64)
+    R, F = V.shape
+    # accept a leading-column SLICE of the title scan's value matrix
+    # without copying: the kernel walks rows by an explicit stride
+    if V.strides[1] != 8:
+        V = np.ascontiguousarray(V)
+    stride = V.strides[0] // 8
+    nB = (R + B - 1) // B
+    vmin = np.empty(F, np.int64)
+    vmax = np.empty(F, np.int64)
+    dmin = np.empty(F, np.int64)
+    dmax = np.empty(F, np.int64)
+    first_d = np.empty((nB, F), np.int64)
+    bconst = np.empty((nB, F), np.uint8)
+    bdconst = np.empty((nB, F), np.uint8)
+    lib.phyngsc_numeric_stats(
+        _i64p(V), R, F, stride, B, _i64p(vmin), _i64p(vmax), _i64p(dmin),
+        _i64p(dmax), _i64p(first_d), bconst.ctypes.data,
+        bdconst.ctypes.data,
+    )
+    return {"vmin": vmin, "vmax": vmax, "dmin": dmin, "dmax": dmax,
+            "first_d": first_d, "const": bconst.astype(bool),
+            "dconst": bdconst.astype(bool)}
 
 
 def unpack_substreams(words: np.ndarray, sub_word_start: np.ndarray,

@@ -170,3 +170,43 @@ def test_native_unpack_substreams_matches_numpy():
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(np.where(valid, a, 0),
                                   np.where(valid, syms, 0))
+
+
+def test_numeric_stats_matches_numpy_pre():
+    """phyngsc_numeric_stats == the numpy _numeric_pre reductions, including
+    strided (sliced) input, partial final blocks, and single-record blocks
+    (VERDICT r4 next #4 — the title planner's one-pass native twin)."""
+    if not native.available() or native.numeric_stats(
+            np.zeros((2, 1), np.int64), 32) is None:
+        pytest.skip("native numeric_stats unavailable")
+    import phyngsc_tpu.utils.native as nat
+    from phyngsc_tpu.models import title
+
+    rng = np.random.default_rng(5)
+    for R in (2, 31, 32, 33, 64, 65, 96, 97, 5003):
+        full = np.zeros((R, 32), np.int64)
+        full[:, 0] = np.arange(R)
+        full[:, 1] = 7
+        full[:, 2] = np.repeat(rng.integers(0, 10**6, (R + 31) // 32),
+                               32)[:R]
+        full[:, 3] = rng.integers(-5, 10**9, R)
+        V = full[:, :4]                       # strided slice, no copy
+        orig = nat.numeric_stats
+        nat.numeric_stats = lambda *a, **k: None
+        try:
+            p_np = title._numeric_pre(V)
+        finally:
+            nat.numeric_stats = orig
+        p_nat = title._numeric_pre(V)
+        for name in ("vmin", "vmax", "dmin", "dmax"):
+            np.testing.assert_array_equal(
+                getattr(p_np, name), getattr(p_nat, name),
+                err_msg=f"{name} R={R}")
+        np.testing.assert_array_equal(p_np.const, p_nat.const)
+        np.testing.assert_array_equal(p_np.dconst, p_nat.dconst)
+        np.testing.assert_array_equal(p_np.first_d, p_nat.first_d)
+        # planner decisions identical to the original per-field path
+        for f in range(V.shape[1]):
+            a = title._numeric_plan_from_values(V[:, f], 12)
+            b = title._numeric_plan_from_values(V[:, f], 12, p_nat, f)
+            assert (a.mode, a.width, a.base) == (b.mode, b.width, b.base)
