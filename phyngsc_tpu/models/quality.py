@@ -91,9 +91,47 @@ def analyze(qual: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     return counts
 
 
+def _table_cost_bits(lens: np.ndarray, singleton: int) -> int:
+    """Exact huffman.store_table bit cost (16-bit count, byte-rounded
+    presence mask, 4-bit nibbles; singleton/one-symbol → 32 bits)."""
+    if singleton >= 0:
+        return 32
+    n = int(np.count_nonzero(lens))
+    if n == 0:
+        return 16
+    if n == 1:
+        return 32
+    return 16 + 8 * ((lens.shape[0] + 7) // 8) + 4 * n
+
+
+def _tables_bits(tables: "QualityTables") -> int:
+    return sum(_table_cost_bits(tables.lens[t], int(tables.singletons[t]))
+               for t in range(tables.n_trees))
+
+
+def lens_rows_for(tables: "QualityTables", T0: int) -> np.ndarray:
+    """Expand a (possibly tree-grouped) table set's code lengths back to T0
+    histogram rows via the same proportional map, for exact-cost math
+    against ungrouped counts (subblock._exact_cap)."""
+    T = tables.n_trees
+    if T == T0 or T == 0:
+        return tables.lens
+    gid = np.arange(T0, dtype=np.int64) * T // T0
+    return tables.lens[gid]
+
+
 def build_tables_adaptive(counts: np.ndarray, cfg: CodecConfig):
-    """Returns (tables, group), cost-gated code-length capping (< 0.4% extra
-    output bits, computed exactly from the histogram):
+    """Returns (tables, group), with two exact-cost adaptations:
+
+    1. **Tree grouping** (VERDICT r4 next #6): per-position trees whose
+       distributions barely differ are merged onto fewer trees — candidates
+       halve the tree count; a candidate wins when its exact total bits
+       (payload Σ counts×lens + Σ store_table cost) beat the finer set.
+       The container needs NO new fields: n_trees < L already means
+       proportional grouping to every v4 reader (tree_of_position), and
+       the encode kernel keys off the same mapping. Near-identical
+       adjacent-position tables therefore collapse to one stored table.
+    2. Cost-gated code-length capping (< 0.4% extra output bits):
 
     - 6-bit cap (alphabet <= 64/position): group-5 encode AND 12-bit pair
       decode LUTs — 2*6 <= 12, so pair_plan's tables are 4 KiB each and fit
@@ -103,6 +141,30 @@ def build_tables_adaptive(counts: np.ndarray, cfg: CodecConfig):
     """
     counts = np.asarray(counts)
     tables = build_tables(counts, cfg)
+    T0 = counts.shape[0]
+    # grouping relies on the v4 proportional position->tree mapping; a
+    # writer pinned to an older footer version (legacy tail-clamp readers)
+    # must keep one tree per histogram row
+    from phyngsc_tpu.container import footer as _footer
+
+    if T0 > 1 and _footer.VERSION >= 4:
+        # every candidate groups the ORIGINAL rows with the same direct map
+        # the encode kernel and every v4 reader apply (tree_of_position), so
+        # each tree's histogram covers exactly the symbols coded with it
+        c64 = counts.astype(np.int64)
+        best_bits = int((c64 * tables.lens).sum()) + _tables_bits(tables)
+        T2 = T0 // 2
+        while T2 >= 1:
+            gid = np.arange(T0, dtype=np.int64) * T2 // T0
+            cand_counts = np.zeros((T2, counts.shape[1]), np.int64)
+            np.add.at(cand_counts, gid, c64)
+            cand = build_tables(cand_counts, cfg)
+            bits = int((c64 * cand.lens[gid]).sum()) + _tables_bits(cand)
+            if bits >= best_bits:
+                break
+            best_bits = bits
+            counts, tables = cand_counts, cand
+            T2 //= 2
     max_len = int(tables.lens.max()) if tables.lens.size else 1
     k = lookup.group_for(max_len)
     c64 = counts.astype(np.int64)

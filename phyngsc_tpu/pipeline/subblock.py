@@ -461,7 +461,10 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
             q_cap = d_cap = 0
         else:
             worst = _word_cap(a.Rp, a.L, G)
-            q_cap = _exact_cap(q_counts, st.q_tables.lens, S, worst)
+            q_cap = _exact_cap(
+                q_counts,
+                quality.lens_rows_for(st.q_tables, q_counts.shape[0]),
+                S, worst)
             if st.d_plan.mode == dna.MODE_PLAIN:
                 d_cap = _exact_cap(d_counts, np.full(256, 2, np.int64), S, worst)
             else:

@@ -183,3 +183,57 @@ def test_pair_plan_dedup_and_cache():
         assert quality.pair_plan(tables, Lt) is None
     finally:
         del os.environ["PHYNGSC_PAIRLUT_BUDGET_MB"]
+
+
+def test_tree_grouping_merges_identical_distributions():
+    """Cost-gated tree grouping (VERDICT r4 next #6): positions with
+    near-identical histograms collapse onto few stored tables (the v4
+    proportional mapping needs no new container fields), and the stream
+    round-trips."""
+    rng = np.random.default_rng(3)
+    L, R = 36, 4096
+    # same skewed distribution at every position -> tables merge
+    probs = np.linspace(0.2, 4.0, 41) ** 4
+    probs /= probs.sum()
+    counts = np.zeros((L, 256), np.int64)
+    sym = rng.choice(np.arange(33, 74), size=(R, L), p=probs)
+    for p in range(L):
+        counts[p] = np.bincount(sym[:, p], minlength=256)
+    tables, _ = quality.build_tables_adaptive(counts, CFG)
+    assert tables.n_trees < L, "identical distributions did not merge"
+
+    # strongly position-dependent distributions must NOT merge to 1
+    counts2 = np.zeros((L, 256), np.int64)
+    for p in range(L):
+        lo = 33 + (p * 3) % 60
+        counts2[p, lo : lo + 8] = 1000
+    tables2, _ = quality.build_tables_adaptive(counts2, CFG)
+    assert tables2.n_trees > 1, "distinct distributions over-merged"
+
+
+def test_tree_grouping_roundtrip_end_to_end():
+    """A transfer-free corpus (uniform per-position stats) engages grouping
+    in the real pipeline and still round-trips byte-exactly."""
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.pipeline.decompress import decompress_bytes
+    from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+    seen = {}
+    orig = quality.build_tables_adaptive
+
+    def spy(c, cfg):
+        t, k = orig(c, cfg)
+        seen["n"] = t.n_trees
+        return t, k
+
+    quality.build_tables_adaptive = spy
+    try:
+        cfg = CodecConfig(subblock_input_bytes=1 << 30,
+                          records_per_substream=16)
+        data = synthesize_fastq(3000, read_len=36, seed=5,
+                                ambiguity_rate=0.0)
+        comp = compress_bytes(data, cfg, 1)
+        assert decompress_bytes(comp, cfg) == data
+    finally:
+        quality.build_tables_adaptive = orig
+    assert seen["n"] < 36, "grouping did not engage on uniform stats"
