@@ -10,19 +10,274 @@ shim in native/mpi_shim (single rank — the reference's own README numbers,
 and lower). If a measured value exists in BASELINE_MEASURED.json it is used;
 otherwise the documented derivation in BASELINE.md (3.1 MB/s) is the floor.
 
-Env knobs: BENCH_MB (input size, default 100 — the scale BASELINE_MEASURED
-was taken at), BENCH_VERIFY=0 to skip the round-trip check, BENCH_WRITERS
-(default 2 — exercises the multi-writer container path).
+Protocol (VERDICT r4 next #1): 1 GB input by default, one warm pass, then
+the MEDIAN of 3 timed passes on an otherwise-idle host is the recorded
+number. `modeled_e2e_mbps` replays the measured stage budgets and transfer
+bytes against a parameterized link rate (BENCH_LINK_MBPS, default 8000 —
+PCIe-class) and host-core budget (BENCH_MODEL_CORES, default 14 — one
+v5e-8 host's 112 vCPUs / 8 chips), since the dev harness routes all
+transfers through a ~30 MB/s loopback relay that no real deployment has.
+
+Env knobs: BENCH_MB (default 1000), BENCH_VERIFY=0 to skip the round-trip
+check, BENCH_WRITERS (default 2), BENCH_SHAPES=0 to skip the per-read-length
+device rows, BENCH_SCALING=0 to skip the 1-vs-2-process CPU proxy,
+BENCH_SCALING_MB (default 48).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def _device_encode_row(R, L, G, cfg, rec_bytes):
+    """Device-only encode throughput at (R, L): analyze + encode graph,
+    slope-timed (dispatch/fetch constants cancel; block_until_ready does
+    not block through the relay)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phyngsc_tpu.models import dna as dmod
+    from phyngsc_tpu.models import quality as qmod
+    from phyngsc_tpu.ops import bitpack as bpmod
+    from phyngsc_tpu.ops import lookup as lkmod
+    from phyngsc_tpu.ops import transfer as trmod
+    from phyngsc_tpu.pipeline import subblock as sbmod
+
+    rng = np.random.default_rng(0)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    seq_np = acgt[rng.integers(0, 4, size=(R, L))]
+    qual_np = rng.integers(33, 74, size=(R, L)).astype(np.uint8)
+    s_mode, s_words = trmod.pack_seq_np(seq_np)
+    q_mode, q_words = trmod.pack_qual_np(qual_np)
+    d_small = trmod.seq_alpha_small(s_mode, seq_np)
+    blob_in = jnp.array(np.concatenate([s_words, q_words]))
+    lens = jnp.array(np.full(R, L, np.int32))
+    seq, qual_t, keep, counts_blob = sbmod._analyze_all(
+        blob_in, lens, seq_mode=s_mode, qual_mode=q_mode, L=L,
+        d_small=d_small)
+    counts = np.asarray(counts_blob)
+    nq = min(L, qmod.MAX_TREES) * 256
+    qc = counts[:nq].reshape(-1, 256)
+    tables, q_group = qmod.build_tables_adaptive(qc, cfg)
+    d_plan = dmod.plan(counts[nq:], cfg)
+    d_group = (lkmod.group_for(int(d_plan.lens_tab.max()) or 1)
+               if d_plan.mode == dmod.MODE_HUFFMAN else 2)
+    S = R // G
+    pack = bpmod.pack_mode()
+    if pack == "rows":
+        q_cap = d_cap = 0
+    else:
+        worst = sbmod._word_cap(R, L, G)
+        q_cap = sbmod._exact_cap(
+            qc, qmod.lens_rows_for(tables, qc.shape[0]), S, worst)
+        d_lens_for_cap = (np.full(256, 2, np.int64)
+                          if d_plan.mode == dmod.MODE_PLAIN else d_plan.lens_tab)
+        d_cap = sbmod._exact_cap(counts[nq:], d_lens_for_cap, S, worst)
+    qc_j = jnp.array(tables.codes)
+    ql_j = jnp.array(tables.lens)
+    dc_j = jnp.array(d_plan.codes_tab)
+    dl_j = jnp.array(d_plan.lens_tab)
+
+    def step():
+        _, qt, kp, blob_c = sbmod._analyze_all(
+            blob_in, lens, seq_mode=s_mode, qual_mode=q_mode, L=L,
+            d_small=d_small)
+        return sbmod._encode_all(
+            qt, kp, seq, lens, qc_j, ql_j, dc_j, dl_j,
+            d_plan.mode, G, q_cap, d_cap, q_group, d_group, pack)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = step()
+        np.asarray(r.reshape(-1)[:8])
+        return time.perf_counter() - t0
+
+    timed(1)  # warm/compile
+    n_it = 8
+    per = (timed(1 + n_it) - timed(1)) / n_it
+    return R * rec_bytes / per / 1e6
+
+
+def _device_decode_row(R, L, cfg, rec_bytes, seed=11):
+    """Device-only decode throughput at (R, L): compress one sub-block of
+    real synthesized data, hoist H2D, slope-time the fused decode graph."""
+    import dataclasses
+
+    import numpy as np
+
+    from phyngsc_tpu.container import block as blockmod
+    from phyngsc_tpu.container import footer as footermod
+    from phyngsc_tpu.pipeline import subblock as sbmod
+    from phyngsc_tpu.pipeline.compress import compress_bytes
+    from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+    cfg = dataclasses.replace(cfg, max_records_per_subblock=R)
+    data = synthesize_fastq(R, read_len=L, seed=seed)
+    comp = compress_bytes(data, cfg, 1)
+    foot = footermod.read_footer(comp)
+    sizes = foot.block_sizes_in_file_order()
+
+    def blocks():
+        off = 0
+        for size, wid in zip(sizes, foot.cbo):
+            yield wid, bytes(comp[off : off + size])
+            off += size
+
+    payload = next(iter(blockmod.iter_subblocks(blocks())))[1]
+    p = sbmod._decode_parse(payload, cfg)
+    dev_in = sbmod._decode_device_inputs(p, cfg)
+    np.asarray(sbmod._decode_device(p, dev_in, cfg))  # warm
+
+    def dtimed(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rr = sbmod._decode_device(p, dev_in, cfg)
+        np.asarray(rr.reshape(-1)[:8])
+        return time.perf_counter() - t0
+
+    dtimed(1)
+    n_it = 8
+    per = (dtimed(1 + n_it) - dtimed(1)) / n_it
+    return p.R * rec_bytes / per / 1e6, bool(p.use_walk)
+
+
+def _title_stage_mbps(data, cfg):
+    """Host-side title encode/decode throughput (MB/s of raw input) on one
+    bench-shaped sub-block (VERDICT r4 next #4 evidence)."""
+    import numpy as np
+
+    from phyngsc_tpu.models import title
+    from phyngsc_tpu.pipeline.subblock import _gather_matrix
+    from phyngsc_tpu.utils.bitio import BitReader, BitWriter
+    from phyngsc_tpu.utils.fastq import index_records
+
+    buf = np.frombuffer(data, np.uint8)
+    idx = index_records(buf[: 130 << 20] if buf.shape[0] > (130 << 20)
+                        else buf)
+    n = min(idx.n_records, 1 << 16)
+    span = int(idx.qual_end[n - 1] + 1)
+    tlens = (idx.title_end[:n] - idx.title_start[:n]).astype(np.int32)
+    titles = _gather_matrix(buf, idx.title_start[:n],
+                            tlens.astype(np.int64), int(tlens.max()))
+    enc = title.encode(titles, tlens, cfg)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        enc = title.encode(titles, tlens, cfg)
+    t_enc = (time.perf_counter() - t0) / 3
+    bw = BitWriter()
+    title.write_header(bw, enc)
+    bw.flush()
+    plan2, _, _, sub2 = title.read_header(BitReader(bw.getvalue()), n)
+    sub_np = np.asarray(enc.char_sub_n_words)
+    title.decode(plan2, enc.fixed_words, enc.char_words, sub_np, n, cfg)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        title.decode(plan2, enc.fixed_words, enc.char_words, sub_np, n, cfg)
+    t_dec = (time.perf_counter() - t0) / 3
+    return round(span / t_enc / 1e6, 1), round(span / t_dec / 1e6, 1)
+
+
+_PROXY_WORKER = r"""
+import sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+n = int(sys.argv[2])
+if n > 1:
+    jax.distributed.initialize(coordinator_address=sys.argv[1],
+                               num_processes=n, process_id=int(sys.argv[3]))
+from phyngsc_tpu.config import CodecConfig
+from phyngsc_tpu.parallel.distributed import (compress_file_distributed,
+                                              decompress_file_distributed)
+cfg = CodecConfig(records_per_substream=64)
+# warm pass: compiles hit the persistent cache after the first process; the
+# timed pass then measures the pipeline, not XLA compilation
+compress_file_distributed(sys.argv[4], sys.argv[5], cfg)
+decompress_file_distributed(sys.argv[5], sys.argv[6], cfg)
+t0 = time.perf_counter()
+compress_file_distributed(sys.argv[4], sys.argv[5], cfg)
+t1 = time.perf_counter()
+decompress_file_distributed(sys.argv[5], sys.argv[6], cfg)
+t2 = time.perf_counter()
+print("PROXY", t1 - t0, t2 - t1, flush=True)
+"""
+
+
+def _cpu_scaling_proxy(mb: float):
+    """1-vs-2-process distributed compress+decompress on the CPU backend
+    (the free scaling datapoint VERDICT r4 next #3a asks for; the offset
+    protocol and pwrite fan-out are exactly the multi-host path). Each
+    process is pinned to its own core (taskset) so efficiency measures the
+    protocol, not 2-vCPU timeslicing: eff = p2_agg / (2 x p1_on_1_core).
+    Workers run one warm pass first (compiles hit the shared persistent
+    cache). Returns dict or None."""
+    import shutil
+    import socket
+    import subprocess
+    import tempfile
+
+    from phyngsc_tpu.utils.fastq import synthesize_fastq
+
+    rec = synthesize_fastq(int(mb * 1e6 / 121), read_len=36, seed=17)
+    out = {"input_mb": round(len(rec) / 1e6, 2)}
+    have_taskset = shutil.which("taskset") is not None
+    out["core_pinned"] = have_taskset
+    with tempfile.TemporaryDirectory() as td:
+        in_path = os.path.join(td, "in.fastq")
+        with open(in_path, "wb") as f:
+            f.write(rec)
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""  # never touch the TPU relay
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) \
+            + os.pathsep + env.get("PYTHONPATH", "")
+        for n in (1, 2):
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                coord = f"127.0.0.1:{s.getsockname()[1]}"
+            procs = [
+                subprocess.Popen(
+                    (["taskset", "-c", str(i)] if have_taskset else [])
+                    + [sys.executable, "-c", _PROXY_WORKER, coord, str(n),
+                       str(i), in_path, os.path.join(td, f"o{n}.ngsct"),
+                       os.path.join(td, f"b{n}.fastq")],
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL, text=True)
+                for i in range(n)
+            ]
+            comp_s = dec_s = 0.0
+            ok = True
+            for p in procs:
+                try:
+                    o, _ = p.communicate(timeout=1200)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    ok = False
+                    continue
+                ok = ok and p.returncode == 0
+                for line in (o or "").splitlines():
+                    if line.startswith("PROXY"):
+                        _, c, d = line.split()
+                        comp_s = max(comp_s, float(c))
+                        dec_s = max(dec_s, float(d))
+            if not ok or not comp_s:
+                return None
+            with open(os.path.join(td, f"b{n}.fastq"), "rb") as f:
+                if f.read() != rec:
+                    return None
+            out[f"p{n}_compress_mbps"] = round(len(rec) / comp_s / 1e6, 2)
+            out[f"p{n}_decompress_mbps"] = round(len(rec) / dec_s / 1e6, 2)
+    out["compress_efficiency_pct"] = round(
+        100 * out["p2_compress_mbps"] / (2 * out["p1_compress_mbps"]), 1)
+    out["decompress_efficiency_pct"] = round(
+        100 * out["p2_decompress_mbps"] / (2 * out["p1_decompress_mbps"]), 1)
+    return out
 
 
 def main() -> int:
@@ -77,14 +332,13 @@ def main() -> int:
     from phyngsc_tpu.pipeline.decompress import decompress_bytes
     from phyngsc_tpu.utils.fastq import synthesize_fastq
 
-    mb = float(os.environ.get("BENCH_MB", "100"))
+    mb = float(os.environ.get("BENCH_MB", "1000"))
     n_writers = int(os.environ.get("BENCH_WRITERS", "2"))
     verify = os.environ.get("BENCH_VERIFY", "1") != "0"
     style = os.environ.get("BENCH_STYLE", "ERR005195")  # or "SRR" (76 bp)
     read_len = 76 if style == "SRR" else 36
     rec_bytes = 208 if style == "SRR" else 121
 
-    n_records = int(mb * 1e6 / rec_bytes)
     # uniform device batches: split by record count, not bytes. Bigger
     # sub-blocks amortize the per-fetch relay latency (BENCH_SUBREC knob).
     sub_rec = int(os.environ.get("BENCH_SUBREC", str(1 << 16)))
@@ -93,11 +347,19 @@ def main() -> int:
         max_records_per_subblock=sub_rec,
         records_per_substream=64,
     )
+    # synthesis is python-format-bound (~7 MB/s); tile a ~100 MB chunk to
+    # the target size. The codec is memoryless across sub-blocks, so
+    # repeated content neither helps nor hurts ratio/throughput — verified
+    # equal at 100 MB fresh vs tiled.
     t0 = time.perf_counter()
-    data = synthesize_fastq(n_records, read_len=read_len, style=style, seed=7)
+    chunk_mb = min(mb, 103.0)
+    chunk = synthesize_fastq(int(chunk_mb * 1e6 / rec_bytes),
+                             read_len=read_len, style=style, seed=7)
+    reps = max(1, round(mb * 1e6 / len(chunk)))
+    data = chunk * reps
     synth_s = time.perf_counter() - t0
 
-    # per-stage budgets captured on the best-of runs (VERDICT r1 #1: the
+    # per-stage budgets captured on the median runs (VERDICT r1 #1: the
     # budget proves where the wall-clock goes — relay wire time vs host work)
     os.environ["PHYNGSC_TIMING"] = "1"
     from phyngsc_tpu.pipeline import subblock as sbmod
@@ -114,148 +376,67 @@ def main() -> int:
     _np.asarray(jax.device_put(_np.zeros(8, _np.uint32)))
     claim_s = time.perf_counter() - t0
 
-    # warm-up: compile every kernel shape on a small prefix + full run once
+    # warm-up: compile every kernel shape + one full pass
     t0 = time.perf_counter()
     comp = compress_bytes(data, cfg, n_writers)
     warm_s = time.perf_counter() - t0
 
-    # best-of-3: the dev harness routes transfers through a shared loopback
-    # relay whose latency varies minute-to-minute; best-of is the stable
-    # estimator of pipeline speed
-    comp_s = float("inf")
-    comp_budget = None
+    # MEDIAN of 3 timed passes (variance-controlled protocol; the relay's
+    # minute-to-minute latency makes best-of overstate the steady state)
+    runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         comp = compress_bytes(data, cfg, n_writers)
-        dt = time.perf_counter() - t0
-        if dt < comp_s:
-            comp_s = dt
-            comp_budget = dict(sbmod.TIMING or {})
+        runs.append((time.perf_counter() - t0, dict(sbmod.TIMING or {})))
+    comp_s = statistics.median(r[0] for r in runs)
+    comp_budget = next(b for t, b in runs if t == comp_s)
 
-    # decompress: warm once (compiles decode kernels), then best-of-3
     t0 = time.perf_counter()
     back = decompress_bytes(comp)
     dwarm_s = time.perf_counter() - t0
     ok = (back == data) if verify else True
-    dec_s = float("inf")
-    dec_budget = None
+    del back
+    runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         back = decompress_bytes(comp)
-        dt = time.perf_counter() - t0
-        if dt < dec_s:
-            dec_s = dt
-            dec_budget = dict(sbmod.TIMING or {})
+        runs.append((time.perf_counter() - t0, dict(sbmod.TIMING or {})))
+        del back
+    dec_s = statistics.median(r[0] for r in runs)
+    dec_budget = next(b for t, b in runs if t == dec_s)
 
-    # device-only kernel throughput (no host work, no tunnel transfers):
-    # the compute ceiling this pipeline hits on real (PCIe-attached) hosts
-    dev_mbps = None
+    # device-only kernel throughput per read length (VERDICT r4 next #2):
+    # the compute ceiling this pipeline hits on real (PCIe-attached) hosts;
+    # decode rows also record whether the pallas walk engaged (no silent
+    # XLA-walk cliff at long reads).
+    G = cfg.records_per_substream
+    dev_rows = {}
+    dev_mbps = dev_dec_mbps = None
+    if os.environ.get("BENCH_SHAPES", "1") != "0":
+        for (Rr, Ll) in ((65536, 36), (32768, 76), (24576, 100),
+                         (2048, 1000)):
+            rb = 2 * Ll + 40  # title ~36 B + newlines + '+' line
+            row = {}
+            try:
+                row["encode_mbps"] = round(
+                    _device_encode_row(Rr, Ll, G, cfg, rb), 1)
+            except Exception as e:  # pragma: no cover - report, don't die
+                row["encode_error"] = repr(e)[:120]
+            try:
+                dmb, walked = _device_decode_row(Rr, Ll, cfg, rb)
+                row["decode_mbps"] = round(dmb, 1)
+                row["pallas_walk"] = walked
+            except Exception as e:  # pragma: no cover
+                row["decode_error"] = repr(e)[:120]
+            dev_rows[f"{Ll}bp"] = row
+        dev_mbps = dev_rows.get("36bp", {}).get("encode_mbps")
+        dev_dec_mbps = dev_rows.get("36bp", {}).get("decode_mbps")
+
+    # host-side title stage in isolation (VERDICT r4 next #4)
     try:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
-        from phyngsc_tpu.models import quality as qmod
-        from phyngsc_tpu.pipeline import subblock as sbmod
-
-        from phyngsc_tpu.ops import transfer as trmod
-
-        R, L, G = 65536, 36, cfg.records_per_substream
-        rng = np.random.default_rng(0)
-        acgt = np.frombuffer(b"ACGT", np.uint8)
-        seq_np = acgt[rng.integers(0, 4, size=(R, L))]           # realistic seq
-        qual_np = rng.integers(33, 74, size=(R, L)).astype(np.uint8)
-        s_mode, s_words = trmod.pack_seq_np(seq_np)
-        q_mode, q_words = trmod.pack_qual_np(qual_np)
-        blob_in = jnp.array(np.concatenate([s_words, q_words]))
-        lens = jnp.array(np.full(R, L, np.int32))
-        seq, qual_t, keep, counts_blob = sbmod._analyze_all(
-            blob_in, lens, seq_mode=s_mode, qual_mode=q_mode, L=L)
-        counts = np.asarray(counts_blob)
-        qc = counts[: L * 256].reshape(L, 256)
-        tables, q_group = qmod.build_tables_adaptive(qc, cfg)
-        from phyngsc_tpu.models import dna as dmod
-        from phyngsc_tpu.ops import bitpack as bpmod
-        from phyngsc_tpu.ops import lookup as lkmod
-
-        d_plan = dmod.plan(counts[L * 256 :], cfg)
-        d_group = (lkmod.group_for(int(d_plan.lens_tab.max()) or 1)
-                   if d_plan.mode == dmod.MODE_HUFFMAN else 2)
-        S = R // G
-        pack = bpmod.pack_mode()
-        if pack == "rows":
-            q_cap = d_cap = 0
-        else:
-            worst = sbmod._word_cap(R, L, G)
-            q_cap = sbmod._exact_cap(qc, tables.lens, S, worst)
-            d_lens_for_cap = (np.full(256, 2, np.int64)
-                              if d_plan.mode == dmod.MODE_PLAIN else d_plan.lens_tab)
-            d_cap = sbmod._exact_cap(counts[L * 256 :], d_lens_for_cap, S, worst)
-        qc_j = jnp.array(tables.codes)
-        ql_j = jnp.array(tables.lens)
-        dc_j = jnp.array(d_plan.codes_tab)
-        dl_j = jnp.array(d_plan.lens_tab)
-
-        def step():
-            _, qt, kp, blob_c = sbmod._analyze_all(
-                blob_in, lens, seq_mode=s_mode, qual_mode=q_mode, L=L)
-            return sbmod._encode_all(
-                qt, kp, seq, lens, qc_j, ql_j, dc_j, dl_j,
-                d_plan.mode, G, q_cap, d_cap, q_group, d_group, pack)
-
-        # slope timing: block_until_ready does NOT block through the relay
-        # and a host fetch pays ~1-2 s of latency, so time (1 + n_it) vs 1
-        # iterations each synced by a tiny true fetch and take the slope —
-        # constant dispatch/fetch overhead cancels
-        def timed(n):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                r = step()
-            np.asarray(r.reshape(-1)[:8])
-            return time.perf_counter() - t0
-
-        timed(1)  # warm
-        n_it = 8
-        per = (timed(1 + n_it) - timed(1)) / n_it
-        dev_mbps = R * rec_bytes / per / 1e6  # raw input bytes/record
+        title_enc_mbps, title_dec_mbps = _title_stage_mbps(chunk, cfg)
     except Exception:
-        pass
-
-    # device-only decode throughput: parse one real sub-block, hoist the
-    # H2D uploads, time the fused decode graph (block_until_ready does not
-    # block through the relay — force with a tiny fetch)
-    dev_dec_mbps = None
-    try:
-        from phyngsc_tpu.container import block as blockmod
-        from phyngsc_tpu.container import footer as footermod
-
-        foot = footermod.read_footer(comp)
-        sizes = foot.block_sizes_in_file_order()
-
-        def blocks():
-            off = 0
-            for size, wid in zip(sizes, foot.cbo):
-                yield wid, bytes(comp[off : off + size])
-                off += size
-
-        payload = next(iter(blockmod.iter_subblocks(blocks())))[1]
-        p = sbmod._decode_parse(payload, cfg)
-        dev_in = sbmod._decode_device_inputs(p, cfg)
-        np.asarray(sbmod._decode_device(p, dev_in, cfg))  # warm
-
-        def dtimed(n):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                rr = sbmod._decode_device(p, dev_in, cfg)
-            np.asarray(rr.reshape(-1)[:8])
-            return time.perf_counter() - t0
-
-        dtimed(1)  # warm the tiny-fetch executable
-        n_it = 8
-        per = (dtimed(1 + n_it) - dtimed(1)) / n_it
-        dev_dec_mbps = p.R * rec_bytes / per / 1e6
-    except Exception:
-        pass
+        title_enc_mbps = title_dec_mbps = None
 
     # relay/PCIe line-rate probe (after the timed runs): one 4 MiB buffer
     # each way, synced by a true host fetch (block_until_ready does not
@@ -263,20 +444,17 @@ def main() -> int:
     # accounting this proves how much of the e2e wall is wire time.
     h2d_rate = d2h_rate = None
     try:
-        import jax
-        import numpy as np
-
-        probe = np.arange(1 << 20, dtype=np.uint32)  # 4 MiB
+        probe = _np.arange(1 << 20, dtype=_np.uint32)  # 4 MiB
         dprobe = jax.device_put(probe)
-        np.asarray(dprobe[:1])  # warm the slice/fetch executables
+        _np.asarray(dprobe[:1])  # warm the slice/fetch executables
         h2d_s = d2h_s = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             d = jax.device_put(probe)
-            np.asarray(d[:1])
+            _np.asarray(d[:1])
             h2d_s = min(h2d_s, time.perf_counter() - t0)
             t0 = time.perf_counter()
-            np.asarray(d)
+            _np.asarray(d)
             d2h_s = min(d2h_s, time.perf_counter() - t0)
         h2d_rate = probe.nbytes / h2d_s / 1e6
         d2h_rate = probe.nbytes / d2h_s / 1e6
@@ -301,6 +479,68 @@ def main() -> int:
 
     mbps = len(data) / comp_s / 1e6
     dec_mbps = len(data) / dec_s / 1e6
+
+    # ---- modeled e2e off the relay (VERDICT r4 next #1b) -----------------
+    # Software-pipeline bottleneck rule: with stages overlapped across
+    # sub-blocks, steady-state wall ~= the slowest serial lane. Lanes from
+    # the MEASURED budgets, with (a) wire waits replaced by bytes/link at
+    # BENCH_LINK_MBPS and (b) host lanes scaled to BENCH_MODEL_CORES from
+    # this host's 2 vCPUs (host stages parallelize across sub-blocks on the
+    # worker pool; 2/14 is a *pessimistic* scale for a v5e-8 host's
+    # 14 vCPU/chip). Every input is recorded, so the model is replayable.
+    link = float(os.environ.get("BENCH_LINK_MBPS", "8000"))
+    model_cores = float(os.environ.get("BENCH_MODEL_CORES", "14"))
+    core_scale = 2.0 / model_cores
+    in_mb = len(data) / 1e6
+    modeled = {}
+    try:
+        cb, db = comp_budget or {}, dec_budget or {}
+        host_c = (cb.get("stage_a", 0) + cb.get("b.tables", 0)
+                  + cb.get("b.title", 0) + cb.get("b.encode_dispatch", 0)
+                  + cb.get("stage_b", 0) + cb.get("stage_c", 0))
+        wire_c = (c_h2d + c_d2h) / link if c_h2d is not None else 0.0
+        lanes_c = {
+            "host_s": round(host_c * core_scale, 3),
+            "wire_s": round(wire_c, 3),
+            "device_s": round(in_mb / dev_mbps, 3) if dev_mbps else None,
+        }
+        wall_c = max(v for v in lanes_c.values() if v is not None)
+        host_d = (db.get("d.parse", 0) + db.get("d.device_dispatch", 0)
+                  + db.get("d.reassemble", 0))
+        wire_d = (d_h2d + d_d2h) / link if d_h2d is not None else 0.0
+        lanes_d = {
+            "host_s": round(host_d * core_scale, 3),
+            "wire_s": round(wire_d, 3),
+            "device_s": (round(in_mb / dev_dec_mbps, 3)
+                         if dev_dec_mbps else None),
+        }
+        wall_d = max(v for v in lanes_d.values() if v is not None)
+        modeled = {
+            "link_mbps": link,
+            "model_cores": model_cores,
+            "compress_mbps": round(in_mb / wall_c, 1),
+            "decompress_mbps": round(in_mb / wall_d, 1),
+            # one v5e-8 HOST = 8 chips, each with its own core share and
+            # PCIe lane; writers are data-parallel over disjoint regions,
+            # so host-level throughput is 8x the per-chip lane bottleneck
+            # (BASELINE.json's >= 2 x 124.94 MB/s target is per host)
+            "v5e8_compress_mbps": round(8 * in_mb / wall_c, 1),
+            "v5e8_decompress_mbps": round(8 * in_mb / wall_d, 1),
+            "compress_lanes_s": lanes_c,
+            "decompress_lanes_s": lanes_d,
+        }
+    except Exception:
+        pass
+
+    # ---- 1-vs-2-process CPU scaling proxy (VERDICT r4 next #3a) ----------
+    scaling = None
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        try:
+            scaling = _cpu_scaling_proxy(
+                float(os.environ.get("BENCH_SCALING_MB", "48")))
+        except Exception:
+            scaling = None
+
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")) as f:
@@ -329,7 +569,7 @@ def main() -> int:
             "compress_wall_s": round(comp_s, 3),
             "decompress_wall_s": round(dec_s, 3),
             # transfer-byte accounting × measured line rate: the wall-clock
-            # floor imposed by the link for the best-of runs above
+            # floor imposed by the link for the median runs above
             "compress_transfer": {"h2d_mb": c_h2d, "d2h_mb": c_d2h,
                                   "wire_s": c_wire},
             "decompress_transfer": {"h2d_mb": d_h2d, "d2h_mb": d_d2h,
@@ -337,14 +577,19 @@ def main() -> int:
             "link_rate_mbps": {"h2d": round(h2d_rate, 1) if h2d_rate else None,
                                "d2h": round(d2h_rate, 1) if d2h_rate else None},
             "synth_s": round(synth_s, 2),
+            "synth_tiled": reps,
             "backend": jax.default_backend(),
             "writers": n_writers,
             "baseline_mbps": baseline,
-            "device_only_mbps": round(dev_mbps, 1) if dev_mbps else None,
+            "device_only_mbps": dev_mbps,
             "device_only_vs_baseline": (round(dev_mbps / baseline, 2)
                                         if dev_mbps else None),
-            "device_only_decode_mbps": (round(dev_dec_mbps, 1)
-                                        if dev_dec_mbps else None),
+            "device_only_decode_mbps": dev_dec_mbps,
+            "device_shapes": dev_rows,
+            "title_stage_mbps": {"encode": title_enc_mbps,
+                                 "decode": title_dec_mbps},
+            "modeled_e2e": modeled,
+            "cpu_scaling_proxy": scaling,
             "executable_census": {
                 "traced": census.traced,
                 "xla_compiles": census.compiled,
@@ -354,9 +599,10 @@ def main() -> int:
                 "major": dict(sorted(census.major.items(),
                                      key=lambda kv: -kv[1])),
             },
-            "note": "dev harness routes all H2D/D2H through a ~50 MB/s "
-                    "loopback relay; device_only_mbps is the compute ceiling "
-                    "on PCIe-attached hosts",
+            "note": "dev harness routes all H2D/D2H through a ~30-50 MB/s "
+                    "loopback relay; device_only/modeled_e2e give the "
+                    "compute ceiling and the replayed-budget e2e on "
+                    "PCIe-attached hosts",
         },
     }
     print(json.dumps(result))

@@ -218,8 +218,16 @@ class DnaPlan:
         return np.asarray((ln.astype(np.int32) << 9) | sym.astype(np.int32))[None, :]
 
 
-def analyze(seq: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
-    """Histogram of DNA-stream symbols (the reference's dna_occ)."""
+def analyze(seq: jnp.ndarray, keep: jnp.ndarray,
+            small_alpha: bool = False) -> jnp.ndarray:
+    """Histogram of DNA-stream symbols (the reference's dna_occ).
+
+    small_alpha (static; transfer.seq_alpha_small): every byte < 128, so the
+    one-hot histogram runs 128 alphabet lanes instead of 256 — half the
+    compare work of the analyze graph's DNA pass (VERDICT r4 next #8)."""
+    if small_alpha:
+        h = histogram.global_histogram(seq, keep, 128)
+        return jnp.pad(h, (0, ALPHABET - 128))
     return histogram.global_histogram(seq, keep, ALPHABET)
 
 

@@ -110,6 +110,16 @@ def pack_seq_np(seq: np.ndarray):
     return SEQ_RAW, _pack_fixed_np(f, 8)
 
 
+def seq_alpha_small(mode: int, seq: np.ndarray) -> bool:
+    """True when every sequence byte is < 128, enabling the 128-lane DNA
+    histogram (half the one-hot compares of the 256-wide kernel). The 2/3-
+    bit planes guarantee it by construction; EXC/RAW scan the plane (one
+    SIMD max over ~2 MB)."""
+    if mode in (SEQ_2BIT, SEQ_3BIT):
+        return True
+    return int(seq.max(initial=0)) < 128
+
+
 def pack_qual_np(qual: np.ndarray):
     """(R, L) uint8 quality plane (padding 0) → (mode, uint32 words)."""
     f = qual.reshape(-1)

@@ -242,7 +242,8 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
         blob_in = jax.device_put(np.concatenate([s_words, q_words]))  # one H2D
         st.seq_j, st.qual_t, st.keep, st.counts_blob = _analyze_all(
             blob_in, lens_j, is_delta=st.is_delta,
-            seq_mode=s_mode, qual_mode=q_mode, L=L)
+            seq_mode=s_mode, qual_mode=q_mode, L=L,
+            d_small=transfer.seq_alpha_small(s_mode, seq_np))
         st.n_q_counts = min(L, quality.MAX_TREES) * quality.ALPHABET
     _host_async(st.counts_blob)
     if executor is not None:
@@ -331,8 +332,9 @@ def _fuse_counts(q_counts, d_counts):
 
 
 @functools.partial(jax.jit, static_argnames=("is_delta", "seq_mode",
-                                              "qual_mode", "L"))
-def _analyze_all(blob, lens, is_delta=False, seq_mode=0, qual_mode=0, L=1):
+                                              "qual_mode", "L", "d_small"))
+def _analyze_all(blob, lens, is_delta=False, seq_mode=0, qual_mode=0, L=1,
+                 d_small=False):
     """Whole stage-A device graph as ONE executable over ONE H2D transfer.
 
     blob is the host-packed [seq_words | qual_words] uint32 buffer
@@ -354,7 +356,7 @@ def _analyze_all(blob, lens, is_delta=False, seq_mode=0, qual_mode=0, L=1):
         seq = dna.delta_translate(seq, lens)
     qual_t, keep, _ = dna.transfer_ambiguity(seq, qual, lens)
     q_counts = quality.analyze(qual_t, lens)
-    d_counts = dna.analyze(seq, keep)
+    d_counts = dna.analyze(seq, keep, small_alpha=d_small)
     blob = jnp.concatenate(
         [q_counts.reshape(-1).astype(jnp.int32),
          d_counts.reshape(-1).astype(jnp.int32)]
