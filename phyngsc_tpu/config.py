@@ -45,6 +45,14 @@ class CodecConfig:
     #: (vectorized across VPU lanes); its packed words start word-aligned and
     #: its word offset is stored in the stream header.
     records_per_substream: int = 64
+    #: Long-read substream policy: the decode walk runs G*L sequential steps
+    #: over S = R/G parallel lanes, so at 1000 bp the 36 bp-tuned G=64 means
+    #: 64000 steps over few lanes (measured 55 MB/s device decode). When the
+    #: first record's read length exceeds 256, the compress drivers shrink G
+    #: toward ~8192 total steps (power of two, >= 8, never above the
+    #: configured records_per_substream); the footer records the resolved
+    #: value, so decode needs nothing. Set False to pin G exactly.
+    auto_substream: bool = True
     #: Cap on per-position statistics for title char fields (reference caps at
     #: 128 positions, tasks.cpp:25).
     max_stat_positions: int = 128

@@ -588,12 +588,18 @@ def _make_walk_kernel(lut_bits: int):
             bi_ref[:] = jnp.zeros_like(bi_ref)
 
         totals = totals_ref[:]
+        # dead lanes (zero symbols: bucket padding past the real substreams)
+        # never advance; leaving them in the band min would pin m = 0 and
+        # make the fetch loop scan the whole consumed prefix every step —
+        # measured 4x decode slowdown on sub-blocks with R < Rp
+        live = totals > 0
 
         def step(i, _):
             wi = wi_ref[:]                           # (Sr, 128) int32
             bi = bi_ref[:]
-            m = jnp.min(wi)
-            span = jnp.minimum(jnp.max(wi) + 2 - m, Wmax - m)
+            m = jnp.min(jnp.where(live, wi, jnp.int32(1) << 30))
+            mx = jnp.max(jnp.where(live, wi, -1))
+            span = jnp.minimum(mx + 2 - m, Wmax - m)
 
             def fetch(j, acc):
                 w0a, w1a = acc
@@ -700,8 +706,8 @@ def _make_masked_kernel(plain2: bool, lut_bits: int):
     _make_walk_kernel). plain2: all codes are 2-bit values (plain DNA) —
     the entry is arithmetic, no table at all."""
 
-    def kernel(words_ref, starts_ref, deltas_ref, mask_ref, out_ref,
-               wi_ref, bi_ref):
+    def kernel(words_ref, starts_ref, deltas_ref, mask_ref, live_ref,
+               out_ref, wi_ref, bi_ref):
         k = pl.program_id(0)
         Tc = out_ref.shape[0]
         Wmax = words_ref.shape[0]
@@ -712,11 +718,16 @@ def _make_masked_kernel(plain2: bool, lut_bits: int):
             wi_ref[:] = jnp.zeros_like(wi_ref)
             bi_ref[:] = jnp.zeros_like(bi_ref)
 
+        # see _make_walk_kernel: dead lanes (no slot ever set — bucket
+        # padding) must not pin the fetch band's min at word 0
+        live = live_ref[:] != 0
+
         def step(i, _):
             wi = wi_ref[:]
             bi = bi_ref[:]
-            m = jnp.min(wi)
-            span = jnp.minimum(jnp.max(wi) + 2 - m, Wmax - m)
+            m = jnp.min(jnp.where(live, wi, jnp.int32(1) << 30))
+            mx = jnp.max(jnp.where(live, wi, -1))
+            span = jnp.minimum(mx + 2 - m, Wmax - m)
 
             def fetch(j, acc):
                 w0a, w1a = acc
@@ -783,6 +794,9 @@ def unpack_substreams_masked_pallas(
     grid = (Tp // Tc,)
     words3 = words_dense.reshape(Wmax, Sr, 128)
     mask3 = mask.astype(jnp.uint8).reshape(Tp, Sr, 128)
+    # lanes with no slot ever set are bucket padding; the kernel excludes
+    # them from the fetch band (see _make_walk_kernel's dead-lane note)
+    live3 = (mask3 != 0).any(axis=0).astype(jnp.int32)
     lut_map = (lambda k: (0, 0)) if shared_luts else (lambda k: (k, 0))
     out = pl.pallas_call(
         _make_masked_kernel(plain2, lut_bits),
@@ -794,6 +808,8 @@ def unpack_substreams_masked_pallas(
             pl.BlockSpec((Tc, K), lut_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Tc, Sr, 128), lambda k: (k, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sr, 128), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Tc, Sr, 128), lambda k: (k, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -803,7 +819,7 @@ def unpack_substreams_masked_pallas(
             pltpu.VMEM((Sr, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(words3, step_starts, step_deltas, mask3)
+    )(words3, step_starts, step_deltas, mask3, live3)
     return out.reshape(Tp, Sp).T[:, :T]
 
 

@@ -23,28 +23,43 @@ _H_RC = 1024
 _H_RSUB = 128
 
 
-def _hist_kernel(sym_ref, out_ref):
-    """Invalid cells arrive pre-masked to the sentinel value A (out of the
-    iota's range), so the inner loop is the bare one-hot compare + row sum
-    — no mask operand, no i8 widen, no AND (measured r4: the 3-op inner
-    loop was ~40% slower and doubled the block's VMEM input traffic)."""
-    k = pl.program_id(0)
-    RC, L = sym_ref.shape
-    A = out_ref.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (_H_RSUB, L, A), 2)
+def _hist_rsub(Lp: int) -> int:
+    """Rows per inner one-hot step: the (rsub, Lp, A) compare tile is the
+    kernel's VMEM high-water mark, so long reads shrink the row count
+    (divisors of _H_RC only) to keep rsub*Lp*A*4 under the scoped limit —
+    128 rows x 80 positions (the short-read shapes) is the proven budget."""
+    for rsub in (128, 64, 32, 16, 8):
+        if rsub * Lp <= 128 * 80:
+            return rsub
+    return 8
 
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
 
-    def sub(j, acc):
-        s = sym_ref[pl.ds(j * _H_RSUB, _H_RSUB)]
-        oh = s[:, :, None] == iota
-        return acc + jnp.sum(oh.astype(jnp.int32), axis=0)
+def _make_hist_kernel(rsub: int):
+    def kernel(sym_ref, out_ref):
+        """Invalid cells arrive pre-masked to the sentinel value A (out of
+        the iota's range), so the inner loop is the bare one-hot compare +
+        row sum — no mask operand, no i8 widen, no AND (measured r4: the
+        3-op inner loop was ~40% slower and doubled the block's VMEM input
+        traffic)."""
+        k = pl.program_id(0)
+        RC, L = sym_ref.shape
+        A = out_ref.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (rsub, L, A), 2)
 
-    acc = jax.lax.fori_loop(0, RC // _H_RSUB, sub,
-                            jnp.zeros(out_ref.shape, jnp.int32))
-    out_ref[:] += acc
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def sub(j, acc):
+            s = sym_ref[pl.ds(j * rsub, rsub)]
+            oh = s[:, :, None] == iota
+            return acc + jnp.sum(oh.astype(jnp.int32), axis=0)
+
+        acc = jax.lax.fori_loop(0, RC // rsub, sub,
+                                jnp.zeros(out_ref.shape, jnp.int32))
+        out_ref[:] += acc
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("alphabet_size", "interpret"))
@@ -63,7 +78,7 @@ def position_histogram_pallas(symbols: jnp.ndarray, valid: jnp.ndarray,
     sym = jnp.where(valid, symbols.astype(jnp.int32), A)
     sym = jnp.pad(sym, ((0, Rp - R), (0, Lp - L)), constant_values=A)
     out = pl.pallas_call(
-        _hist_kernel,
+        _make_hist_kernel(_hist_rsub(Lp)),
         grid=(Rp // _H_RC,),
         in_specs=[
             pl.BlockSpec((_H_RC, Lp), lambda k: (k, 0),

@@ -54,6 +54,10 @@ def compress_file_distributed(in_path: str, out_path: str,
     # cache, so a 100 GB input costs each host ~1/N of it
     size = os.path.getsize(in_path)
     buf = np.memmap(in_path, np.uint8, "r") if size else np.zeros(0, np.uint8)
+    # deterministic across processes: every rank peeks the same first record
+    from phyngsc_tpu.pipeline.compress import resolve_substream
+
+    cfg = resolve_substream(buf, cfg)
     regions = partition_regions(buf, n_proc, cfg)
     reg = regions[pid]
 

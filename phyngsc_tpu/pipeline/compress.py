@@ -179,6 +179,34 @@ def encode_subblocks_pipelined(buf: np.ndarray, regions, cfg: CodecConfig,
     return n_tasks
 
 
+def resolve_substream(buf: np.ndarray, cfg: CodecConfig) -> CodecConfig:
+    """Apply CodecConfig.auto_substream: peek the first record's read length
+    and shrink records_per_substream for long reads (the decode walk's step
+    count is G*L; target ~8192 steps). The resolved value lands in the
+    footer, so decompression follows automatically."""
+    import dataclasses
+
+    from phyngsc_tpu.utils.shapes import bucket_length
+
+    if not cfg.auto_substream or buf.shape[0] == 0:
+        return cfg
+    b = buf[: 1 << 16].tobytes()
+    t_end = b.find(b"\n")
+    s_end = b.find(b"\n", t_end + 1) if t_end >= 0 else -1
+    if t_end < 0 or s_end < 0:
+        return cfg
+    L0 = bucket_length(s_end - t_end - 1)
+    if L0 <= 256:
+        return cfg
+    g = 8
+    while g * 2 * L0 <= 8192:
+        g *= 2
+    g = min(cfg.records_per_substream, max(8, g))
+    if g == cfg.records_per_substream:
+        return cfg
+    return dataclasses.replace(cfg, records_per_substream=g)
+
+
 def compress_to_file(buf: np.ndarray, out, cfg: Optional[CodecConfig] = None,
                      n_writers: int = 1, stats_out: Optional[list] = None
                      ) -> None:
@@ -192,7 +220,7 @@ def compress_to_file(buf: np.ndarray, out, cfg: Optional[CodecConfig] = None,
     stream from the page cache instead of loading resident (the reference
     reads 8 MiB windows, phyNGSC.cpp:249; the memmap gives the same
     incremental behavior with kernel readahead)."""
-    cfg = cfg or CodecConfig()
+    cfg = resolve_substream(buf, cfg or CodecConfig())
     regions = partition_regions(buf, n_writers, cfg)
 
     codec = None

@@ -14,6 +14,7 @@ from phyngsc_tpu.models import quality
 from phyngsc_tpu.ops import huffman
 from phyngsc_tpu.pipeline.compress import compress_bytes
 from phyngsc_tpu.pipeline.decompress import decompress_bytes
+from phyngsc_tpu.utils.fastq import synthesize_fastq
 
 
 def _longread_fastq(n_rec: int, read_len: int, seed: int = 0) -> bytes:
@@ -79,7 +80,8 @@ def test_longread_walk_engages_beyond_step_cap(monkeypatch):
     from phyngsc_tpu.ops import bitpack
     from phyngsc_tpu.pipeline import subblock
 
-    cfg = CodecConfig(records_per_substream=32, subblock_input_bytes=1 << 30)
+    cfg = CodecConfig(records_per_substream=32, subblock_input_bytes=1 << 30,
+                      auto_substream=False)
     data = _longread_fastq(96, 1000, seed=9)
     comp = compress_bytes(data, cfg, 1)
 
@@ -109,7 +111,8 @@ def test_longread_walk_variable_lengths(monkeypatch):
         recs.append(b"@lrv%d\n" % i + seq.tobytes() + b"\n+\n"
                     + q.tobytes() + b"\n")
     data = b"".join(recs)
-    cfg = CodecConfig(records_per_substream=32, subblock_input_bytes=1 << 30)
+    cfg = CodecConfig(records_per_substream=32, subblock_input_bytes=1 << 30,
+                      auto_substream=False)
     comp = compress_bytes(data, cfg, 1)
     assert decompress_bytes(comp, cfg) == data
 
@@ -193,3 +196,25 @@ def test_v3_footer_reads_as_legacy(monkeypatch):
     seen.clear()
     assert decompress_bytes(comp_v4) == data
     assert seen and not any(seen)
+
+
+def test_auto_substream_resolves_for_long_reads():
+    """Default config at 1000 bp shrinks G toward ~8192 walk steps (the
+    footer records the resolved value; decode follows it), while
+    auto_substream=False pins the configured G."""
+    from phyngsc_tpu.container import footer as footermod
+
+    data = _longread_fastq(64, 1000, seed=3)
+    comp = compress_bytes(data, CodecConfig(), 1)
+    foot = footermod.read_footer(comp)
+    assert foot.records_per_substream == 8
+    assert decompress_bytes(comp) == data
+
+    comp2 = compress_bytes(data, CodecConfig(auto_substream=False), 1)
+    assert footermod.read_footer(comp2).records_per_substream == 64
+    assert decompress_bytes(comp2) == data
+
+    # short reads are untouched
+    short = synthesize_fastq(300, read_len=36, seed=4)
+    comp3 = compress_bytes(short, CodecConfig(), 1)
+    assert footermod.read_footer(comp3).records_per_substream == 64
