@@ -131,6 +131,10 @@ def _device_decode_row(R, L, cfg, rec_bytes, seed=11):
             off += size
 
     payload = next(iter(blockmod.iter_subblocks(blocks())))[1]
+    # decode with the container's geometry (auto_substream may have shrunk
+    # G for long reads; the real driver reads it from the footer)
+    cfg = dataclasses.replace(
+        cfg, records_per_substream=foot.records_per_substream)
     p = sbmod._decode_parse(payload, cfg)
     dev_in = sbmod._decode_device_inputs(p, cfg)
     np.asarray(sbmod._decode_device(p, dev_in, cfg))  # warm
