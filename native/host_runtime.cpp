@@ -259,6 +259,93 @@ void phyngsc_title_scan(const uint8_t *titles, const int32_t *tlens,
   }
 }
 
+// Fixed-width MSB-first word packing (ops/transfer._pack_fixed_np twin):
+// word i = OR of v[j] << (32 - w*(j+1)) over its `per` values, where v is a
+// per-byte transform of the source plane. The numpy version pays ~8 strided
+// passes; this is the stage-A H2D pack on the compress critical path
+// (reference analogue: the byte copies feeding BitStream, phyNGSC.cpp:690+).
+// transform: 0 identity, 1 ACGT 2-bit ((c>>1)&3), 2 ACGTN 3-bit (N->4),
+// 3 quality 6-bit (0 stays 0, else c-33).
+void phyngsc_pack_fixed(const uint8_t *src, int64_t n, int32_t w,
+                        int32_t transform, uint32_t *out) {
+  static const int per_tab[9] = {0, 0, 16, 10, 8, 6, 5, 0, 4};
+  const int per = per_tab[w];
+  const int64_t n_words = (n + per - 1) / per;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_words; ++i) {
+    uint32_t acc = 0;
+    const int64_t base = i * per;
+    const int64_t m = std::min<int64_t>(per, n - base);
+    for (int64_t j = 0; j < m; ++j) {
+      uint32_t c = src[base + j];
+      uint32_t v;
+      switch (transform) {
+        case 1: v = (c >> 1) & 3u; break;
+        case 2: v = (c == 78) ? 4u : ((c >> 1) & 3u); break;
+        case 3: v = c ? (c - 33u) : 0u; break;
+        default: v = c; break;
+      }
+      acc |= v << (32 - w * (j + 1));
+    }
+    out[i] = acc;
+  }
+}
+
+// Ascending indices of non-ACGT/0 bytes (the SEQ_2BIT_EXC exception list):
+// two-pass OpenMP — per-chunk counts, exclusive prefix, ordered fill.
+// Returns the total count; writes at most `cap` indices.
+int64_t phyngsc_find_non_acgt(const uint8_t *src, int64_t n,
+                              int64_t cap, uint32_t *out_idx) {
+  const int64_t chunk = 1 << 16;
+  const int64_t n_chunks = (n + chunk - 1) / chunk;
+  std::vector<int64_t> counts(n_chunks + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    const int64_t e = std::min(n, (c + 1) * chunk);
+    int64_t k = 0;
+    for (int64_t i = c * chunk; i < e; ++i) {
+      const uint8_t b = src[i];
+      k += (b == 0 || b == 'A' || b == 'C' || b == 'G' || b == 'T') ? 0 : 1;
+    }
+    counts[c + 1] = k;
+  }
+  for (int64_t c = 0; c < n_chunks; ++c) counts[c + 1] += counts[c];
+  if (counts[n_chunks] > cap) return counts[n_chunks];
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    const int64_t e = std::min(n, (c + 1) * chunk);
+    int64_t w = counts[c];
+    for (int64_t i = c * chunk; i < e; ++i) {
+      const uint8_t b = src[i];
+      if (!(b == 0 || b == 'A' || b == 'C' || b == 'G' || b == 'T'))
+        out_idx[w++] = (uint32_t)i;
+    }
+  }
+  return counts[n_chunks];
+}
+
+// One-pass byte census for the pack-mode decisions (replaces ~5 boolean
+// numpy passes per plane): counts of non-ACGT/0 bytes, 'N' bytes, bytes
+// >= 128, and bytes outside the 6-bit quality window (0 or [33, 96]).
+void phyngsc_byte_scan(const uint8_t *src, int64_t n, int64_t *out4) {
+  int64_t non_acgt = 0, n_n = 0, ge128 = 0, non_q6 = 0;
+#pragma omp parallel for schedule(static) \
+    reduction(+ : non_acgt, n_n, ge128, non_q6)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t c = src[i];
+    const bool acgt0 =
+        c == 0 || c == 'A' || c == 'C' || c == 'G' || c == 'T';
+    non_acgt += acgt0 ? 0 : 1;
+    n_n += (c == 'N') ? 1 : 0;
+    ge128 += (c >= 128) ? 1 : 0;
+    non_q6 += (c == 0 || (c >= 33 && c <= 96)) ? 0 : 1;
+  }
+  out4[0] = non_acgt;
+  out4[1] = n_n;
+  out4[2] = ge128;
+  out4[3] = non_q6;
+}
+
 // Numeric-field mode-planner statistics in ONE row-major pass over the
 // title scan's (R, F) value matrix (models/title._numeric_pre twin — the
 // numpy version pays ~6 strided passes; title analyze is on the compress

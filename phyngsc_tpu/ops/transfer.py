@@ -82,31 +82,56 @@ def _pack_fixed_np(vals: np.ndarray, w: int) -> np.ndarray:
 
 
 def pack_seq_np(seq: np.ndarray):
-    """(R, L) uint8 sequence plane (padding 0) → (mode, uint32 words)."""
+    """(R, L) uint8 sequence plane (padding 0) → (mode, uint32 words).
+
+    Native fast path: one phyngsc_byte_scan census picks the mode and one
+    phyngsc_pack_fixed pass packs with the mode's value map fused in —
+    byte-identical to the numpy fallback below (tests/test_transfer.py)."""
+    from phyngsc_tpu.utils import native
+
     f = seq.reshape(-1)
-    acgt = (f == 0) | (f == 65) | (f == 67) | (f == 71) | (f == 84)
-    if acgt.all():
-        return SEQ_2BIT, _pack_fixed_np((f >> 1) & 3, 2)
-    exc = np.flatnonzero(~acgt)
+    sc = native.byte_scan(f)
+    acgt = None
+    if sc is not None:
+        n_bad = sc["n_non_acgt"]
+        if n_bad == 0:
+            return SEQ_2BIT, native.pack_fixed(f, 2, native.PACK_ACGT2)
+        all_acgtn = n_bad == sc["n_N"]
+    else:
+        acgt = (f == 0) | (f == 65) | (f == 67) | (f == 71) | (f == 84)
+        n_bad = int(f.size - np.count_nonzero(acgt))
+        if n_bad == 0:
+            return SEQ_2BIT, _pack_fixed_np((f >> 1) & 3, 2)
+        all_acgtn = bool((acgt | (f == 78)).all())
     # sparse non-ACGT (N's, IUPAC ambiguity): 2-bit plane + exception list.
     # The 1/32 cap bounds the device scatter (~3% of cells worst case) and
     # guarantees the word count beats both 3-bit and raw even after the
     # bucket round-up: RL/16 + 2*RL/32 = RL/8 < RL/4 always, and exc mode
     # is preferred over 3-bit only when actually smaller (checked below).
-    if f.size <= 0xFFFFFF and exc.size <= f.size // 32:
-        n_exc = n_words(f.size, "seq", SEQ_2BIT) + _exc_bucket(int(exc.size))
-        acgtn = bool((acgt | (f == 78)).all())
-        better_3bit = acgtn and n_words(f.size, "seq", SEQ_3BIT) <= n_exc
+    if f.size <= 0xFFFFFF and n_bad <= f.size // 32:
+        n_exc = n_words(f.size, "seq", SEQ_2BIT) + _exc_bucket(n_bad)
+        better_3bit = all_acgtn and n_words(f.size, "seq", SEQ_3BIT) <= n_exc
         # tiny planes: the minimum exception bucket can exceed the raw plane
         if n_exc < n_words(f.size, "seq", SEQ_RAW) and not better_3bit:
-            base = _pack_fixed_np((f >> 1) & 3, 2)
+            exc = native.find_non_acgt(f, n_bad) if sc is not None else None
+            if exc is None:
+                if acgt is None:
+                    acgt = ((f == 0) | (f == 65) | (f == 67) | (f == 71)
+                            | (f == 84))
+                exc = np.flatnonzero(~acgt)
+            base = (native.pack_fixed(f, 2, native.PACK_ACGT2)
+                    if sc is not None else _pack_fixed_np((f >> 1) & 3, 2))
             ew = np.full(n_exc - base.shape[0], 0xFFFFFFFF, np.uint32)
             ew[: exc.size] = (exc.astype(np.uint32) << np.uint32(8)) \
                 | f[exc].astype(np.uint32)
             return SEQ_2BIT_EXC, np.concatenate([base, ew])
-    if (acgt | (f == 78)).all():  # ACGTN: N -> code 4
+    if all_acgtn:  # ACGTN: N -> code 4
+        if sc is not None:
+            return SEQ_3BIT, native.pack_fixed(f, 3, native.PACK_ACGTN3)
         v = np.where(f == 78, 4, (f >> 1) & 3).astype(np.uint32)
         return SEQ_3BIT, _pack_fixed_np(v, 3)
+    if sc is not None:
+        return SEQ_RAW, native.pack_fixed(f, 8, native.PACK_RAW)
     return SEQ_RAW, _pack_fixed_np(f, 8)
 
 
@@ -122,7 +147,14 @@ def seq_alpha_small(mode: int, seq: np.ndarray) -> bool:
 
 def pack_qual_np(qual: np.ndarray):
     """(R, L) uint8 quality plane (padding 0) → (mode, uint32 words)."""
+    from phyngsc_tpu.utils import native
+
     f = qual.reshape(-1)
+    sc = native.byte_scan(f)
+    if sc is not None:
+        if sc["n_non_q6"] == 0:
+            return QUAL_6BIT, native.pack_fixed(f, 6, native.PACK_QUAL6)
+        return QUAL_RAW, native.pack_fixed(f, 8, native.PACK_RAW)
     ok = (f == 0) | ((f >= 33) & (f <= 96))
     if ok.all():
         v = np.where(f == 0, 0, f.astype(np.int32) - 33).astype(np.uint32)

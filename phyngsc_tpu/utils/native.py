@@ -127,6 +127,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, i32p, i32p, i64p, i64p, i32p, i64p, i32p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
+    if hasattr(lib, "phyngsc_pack_fixed"):
+        lib.phyngsc_pack_fixed.restype = None
+        lib.phyngsc_pack_fixed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+    if hasattr(lib, "phyngsc_find_non_acgt"):
+        lib.phyngsc_find_non_acgt.restype = ctypes.c_int64
+        lib.phyngsc_find_non_acgt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+    if hasattr(lib, "phyngsc_byte_scan"):
+        lib.phyngsc_byte_scan.restype = None
+        lib.phyngsc_byte_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p,
+        ]
     if hasattr(lib, "phyngsc_numeric_stats"):
         lib.phyngsc_numeric_stats.restype = None
         lib.phyngsc_numeric_stats.argtypes = [
@@ -225,6 +241,54 @@ def title_scan(titles: np.ndarray, tlens: np.ndarray, separators: bytes,
     )
     return {"nsep": nsep, "sep_pos": sep_pos, "sep_chars": sep_chars,
             "values": values, "numeric_ok": numeric_ok.astype(bool)}
+
+
+#: phyngsc_pack_fixed transform codes (ops/transfer pack modes)
+PACK_RAW, PACK_ACGT2, PACK_ACGTN3, PACK_QUAL6 = 0, 1, 2, 3
+
+
+def pack_fixed(src: np.ndarray, w: int, transform: int = 0):
+    """One-pass fixed-width MSB-first word pack of a uint8 plane with the
+    per-byte transform applied in-kernel (twin of transfer._pack_fixed_np
+    composed with the mode's value map). Returns uint32 words or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_pack_fixed"):
+        return None
+    src = np.ascontiguousarray(src.reshape(-1), dtype=np.uint8)
+    per = {2: 16, 3: 10, 4: 8, 5: 6, 6: 5, 8: 4}[w]
+    out = np.empty((src.size + per - 1) // per, np.uint32)
+    lib.phyngsc_pack_fixed(src.ctypes.data, src.size, w, transform,
+                           out.ctypes.data)
+    return out
+
+
+def find_non_acgt(src: np.ndarray, cap: int):
+    """Ascending flat indices of non-ACGT/0 bytes (the SEQ_2BIT_EXC
+    exception positions), or None when unavailable / count exceeds cap."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_find_non_acgt"):
+        return None
+    src = np.ascontiguousarray(src.reshape(-1), dtype=np.uint8)
+    out = np.empty(max(cap, 1), np.uint32)
+    n = lib.phyngsc_find_non_acgt(src.ctypes.data, src.size, cap,
+                                  out.ctypes.data)
+    if n > cap:
+        return None
+    return out[:n]
+
+
+def byte_scan(src: np.ndarray):
+    """One-pass census of a uint8 plane: dict with n_non_acgt (excluding 0),
+    n_N, n_ge128, n_non_q6 — the counts transfer's pack-mode decisions
+    need. Returns None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_byte_scan"):
+        return None
+    src = np.ascontiguousarray(src.reshape(-1), dtype=np.uint8)
+    out = np.empty(4, np.int64)
+    lib.phyngsc_byte_scan(src.ctypes.data, src.size, _i64p(out))
+    return {"n_non_acgt": int(out[0]), "n_N": int(out[1]),
+            "n_ge128": int(out[2]), "n_non_q6": int(out[3])}
 
 
 def numeric_stats(V: np.ndarray, B: int):

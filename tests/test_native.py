@@ -210,3 +210,78 @@ def test_numeric_stats_matches_numpy_pre():
             a = title._numeric_plan_from_values(V[:, f], 12)
             b = title._numeric_plan_from_values(V[:, f], 12, p_nat, f)
             assert (a.mode, a.width, a.base) == (b.mode, b.width, b.base)
+
+
+def test_pack_fixed_and_byte_scan_match_numpy():
+    """phyngsc_pack_fixed/byte_scan == the numpy transfer pack paths, for
+    every mode and odd tails."""
+    from phyngsc_tpu.ops import transfer as tr
+
+    if native.pack_fixed(np.zeros(4, np.uint8), 2) is None:
+        pytest.skip("native pack_fixed unavailable")
+    rng = np.random.default_rng(9)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    for n in (1, 5, 16, 17, 4093, 65536):
+        f = acgt[rng.integers(0, 4, size=n)]
+        np.testing.assert_array_equal(
+            native.pack_fixed(f, 2, native.PACK_ACGT2),
+            tr._pack_fixed_np((f >> 1) & 3, 2))
+        fn = f.copy()
+        fn[rng.integers(0, n, size=max(1, n // 9))] = ord("N")
+        np.testing.assert_array_equal(
+            native.pack_fixed(fn, 3, native.PACK_ACGTN3),
+            tr._pack_fixed_np(
+                np.where(fn == 78, 4, (fn >> 1) & 3).astype(np.uint32), 3))
+        q = rng.integers(33, 97, size=n).astype(np.uint8)
+        q[: n // 7] = 0
+        np.testing.assert_array_equal(
+            native.pack_fixed(q, 6, native.PACK_QUAL6),
+            tr._pack_fixed_np(
+                np.where(q == 0, 0, q.astype(np.int32) - 33
+                         ).astype(np.uint32), 6))
+        raw = rng.integers(0, 256, size=n).astype(np.uint8)
+        np.testing.assert_array_equal(
+            native.pack_fixed(raw, 8, native.PACK_RAW),
+            tr._pack_fixed_np(raw, 8))
+        sc = native.byte_scan(raw)
+        a = ((raw == 0) | (raw == 65) | (raw == 67) | (raw == 71)
+             | (raw == 84))
+        assert sc["n_non_acgt"] == int(np.count_nonzero(~a))
+        assert sc["n_N"] == int(np.count_nonzero(raw == 78))
+        assert sc["n_ge128"] == int(np.count_nonzero(raw >= 128))
+        ok = (raw == 0) | ((raw >= 33) & (raw <= 96))
+        assert sc["n_non_q6"] == int(np.count_nonzero(~ok))
+
+
+def test_pack_seq_qual_native_matches_numpy_fallback(monkeypatch):
+    """pack_seq_np/pack_qual_np produce identical (mode, words) with and
+    without the native lib, across all four sequence modes."""
+    from phyngsc_tpu.ops import transfer as tr
+
+    if native.byte_scan(np.zeros(4, np.uint8)) is None:
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(4)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    planes = []
+    pure = acgt[rng.integers(0, 4, size=(300, 36))]
+    planes.append(pure)                                    # SEQ_2BIT
+    exc = pure.copy()
+    exc[rng.random(exc.shape) < 0.01] = ord("Y")
+    planes.append(exc)                                     # SEQ_2BIT_EXC
+    nn = pure.copy()
+    nn[rng.random(nn.shape) < 0.2] = ord("N")
+    planes.append(nn)                                      # SEQ_3BIT
+    raw = rng.integers(0, 255, size=(300, 36)).astype(np.uint8)
+    planes.append(raw)                                     # SEQ_RAW
+    quals = [rng.integers(33, 97, size=(300, 36)).astype(np.uint8),
+             rng.integers(0, 255, size=(300, 36)).astype(np.uint8)]
+
+    got_n = [tr.pack_seq_np(p) for p in planes] \
+        + [tr.pack_qual_np(q) for q in quals]
+    monkeypatch.setattr(native, "byte_scan", lambda *a: None)
+    monkeypatch.setattr(native, "pack_fixed", lambda *a, **k: None)
+    got_np = [tr.pack_seq_np(p) for p in planes] \
+        + [tr.pack_qual_np(q) for q in quals]
+    for (m1, w1), (m2, w2) in zip(got_n, got_np):
+        assert m1 == m2
+        np.testing.assert_array_equal(w1, w2)
