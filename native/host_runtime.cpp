@@ -291,6 +291,40 @@ void phyngsc_pack_fixed(const uint8_t *src, int64_t n, int32_t w,
   }
 }
 
+// Decompressor output-tail fusion (pipeline/subblock.decode_stage_b twin):
+// unpack the w-bit alphabet-index lane plane and the 6/8-bit quality lane
+// plane, apply the alphabet lookup and (qual8 mode) the host-side ambiguity
+// restore (inverse of phyNGSC.cpp:573-588) in ONE elementwise pass — the
+// numpy version pays ~8 passes over megabyte planes per sub-block.
+void phyngsc_decode_tail(const uint32_t *sw, const uint32_t *qw, int64_t n,
+                         int32_t w, int32_t qw_bits, int32_t plus33,
+                         int32_t qual8, const uint8_t *alpha,
+                         const uint8_t *amb, uint8_t *seq_out,
+                         uint8_t *qual_out) {
+  static const int per_tab[9] = {0, 0, 16, 10, 8, 6, 5, 0, 4};
+  const int ps = per_tab[w];
+  const int pq = per_tab[qw_bits];
+  const uint32_t ms = (1u << w) - 1;
+  const uint32_t mq = (qw_bits == 8) ? 255u : ((1u << qw_bits) - 1);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t idx = (sw[i / ps] >> (32 - w * (i % ps + 1))) & ms;
+    const uint32_t q = (qw[i / pq] >> (32 - qw_bits * (i % pq + 1))) & mq;
+    uint8_t sv, qv;
+    if (qual8 && q >= 128) {
+      int code = (int)((q - 112) >> 3);
+      if (code > 16) code = 16;
+      sv = amb[code];
+      qv = (uint8_t)(q - 112 - (uint32_t)(code << 3) + 33);
+    } else {
+      sv = alpha[idx];
+      qv = plus33 ? (uint8_t)(q + 33) : (uint8_t)q;
+    }
+    seq_out[i] = sv;
+    qual_out[i] = qv;
+  }
+}
+
 // Ascending indices of non-ACGT/0 bytes (the SEQ_2BIT_EXC exception list):
 // two-pass OpenMP — per-chunk counts, exclusive prefix, ordered fill.
 // Returns the total count; writes at most `cap` indices.

@@ -610,26 +610,40 @@ def decode_stage_b(st: _DStage) -> bytes:
         n = Rp * L
         w = _out_width(alpha.shape[0])
         n_sw, n_qw = _out_fetch_words(n, w, q6 and not qual8)
-        idx = _lane_unpack_np(both[:n_sw], w, n)
-        q = _lane_unpack_np(both[n_sw : n_sw + n_qw],
-                            6 if (q6 and not qual8) else 8, n)
-        if qual8:
-            # host-side ambiguity restore (inverse of phyNGSC.cpp:573-588):
-            # the fetched planes are PRE-restore — kept-symbol alphabet
-            # indices and raw qual_t, whose symbols >= 128 mark transferred
-            # positions (tasks.cpp:1084-1087). int16 throughout: the values
-            # fit and the plane is megabytes per sub-block
-            qt = q.astype(np.int16)
-            moved = qt >= 128
-            code = np.clip((qt - 112) >> 3, 0, 16)
-            seq = np.where(moved, dna.AMB_CHAR[code], alpha[idx])
-            qual = np.where(moved, (qt - 112 - (code << 3) + 33
-                                    ).astype(np.int16), qt)
+        qb = 6 if (q6 and not qual8) else 8
+        from phyngsc_tpu.utils import native as _native
+
+        a32 = np.zeros(32, np.uint8)
+        a32[: alpha.shape[0]] = alpha
+        nt = _native.decode_tail(
+            both[:n_sw], both[n_sw : n_sw + n_qw], n, w, qb,
+            plus33=bool(q6 and not qual8), qual8=bool(qual8),
+            alpha=a32, amb=dna.AMB_CHAR)
+        if nt is not None:
+            seq = nt[0].reshape(Rp, L)[: st.R]
+            qual = nt[1].reshape(Rp, L)[: st.R]
         else:
-            seq = alpha[idx]
-            qual = q + 33 if q6 else q
-        seq = seq.astype(np.uint8).reshape(Rp, L)[: st.R]
-        qual = qual.astype(np.uint8).reshape(Rp, L)[: st.R]
+            # numpy fallback (native lib absent): identical math
+            idx = _lane_unpack_np(both[:n_sw], w, n)
+            q = _lane_unpack_np(both[n_sw : n_sw + n_qw], qb, n)
+            if qual8:
+                # host-side ambiguity restore (inverse of
+                # phyNGSC.cpp:573-588): the fetched planes are PRE-restore —
+                # kept-symbol alphabet indices and raw qual_t, whose symbols
+                # >= 128 mark transferred positions (tasks.cpp:1084-1087).
+                # int16 throughout: the values fit and the plane is
+                # megabytes per sub-block
+                qt = q.astype(np.int16)
+                moved = qt >= 128
+                code = np.clip((qt - 112) >> 3, 0, 16)
+                seq = np.where(moved, dna.AMB_CHAR[code], alpha[idx])
+                qual = np.where(moved, (qt - 112 - (code << 3) + 33
+                                        ).astype(np.int16), qt)
+            else:
+                seq = alpha[idx]
+                qual = q + 33 if q6 else q
+            seq = seq.astype(np.uint8).reshape(Rp, L)[: st.R]
+            qual = qual.astype(np.uint8).reshape(Rp, L)[: st.R]
     else:
         seq, qual = both[0, : st.R], both[1, : st.R]
     if st.tlens_np is None:        # title decode ran on a worker thread

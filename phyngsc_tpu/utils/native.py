@@ -133,6 +133,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p,
         ]
+    if hasattr(lib, "phyngsc_decode_tail"):
+        lib.phyngsc_decode_tail.restype = None
+        lib.phyngsc_decode_tail.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
     if hasattr(lib, "phyngsc_find_non_acgt"):
         lib.phyngsc_find_non_acgt.restype = ctypes.c_int64
         lib.phyngsc_find_non_acgt.argtypes = [
@@ -260,6 +268,28 @@ def pack_fixed(src: np.ndarray, w: int, transform: int = 0):
     lib.phyngsc_pack_fixed(src.ctypes.data, src.size, w, transform,
                            out.ctypes.data)
     return out
+
+
+def decode_tail(sw: np.ndarray, qw: np.ndarray, n: int, w: int,
+                qw_bits: int, plus33: bool, qual8: bool,
+                alpha: np.ndarray, amb: np.ndarray):
+    """Fused output-tail: lane-unpack the index/quality planes + alphabet
+    lookup + qual8 ambiguity restore in one pass. Returns (seq, qual) flat
+    uint8 arrays of length n, or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_decode_tail"):
+        return None
+    sw = np.ascontiguousarray(sw, np.uint32)
+    qw = np.ascontiguousarray(qw, np.uint32)
+    alpha = np.ascontiguousarray(alpha, np.uint8)
+    amb = np.ascontiguousarray(amb, np.uint8)
+    seq = np.empty(n, np.uint8)
+    qual = np.empty(n, np.uint8)
+    lib.phyngsc_decode_tail(
+        sw.ctypes.data, qw.ctypes.data, n, w, qw_bits,
+        1 if plus33 else 0, 1 if qual8 else 0, alpha.ctypes.data,
+        amb.ctypes.data, seq.ctypes.data, qual.ctypes.data)
+    return seq, qual
 
 
 def find_non_acgt(src: np.ndarray, cap: int):

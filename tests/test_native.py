@@ -285,3 +285,56 @@ def test_pack_seq_qual_native_matches_numpy_fallback(monkeypatch):
     for (m1, w1), (m2, w2) in zip(got_n, got_np):
         assert m1 == m2
         np.testing.assert_array_equal(w1, w2)
+
+
+def test_decode_tail_matches_numpy():
+    """phyngsc_decode_tail == the numpy lane-unpack + restore math, in both
+    qual8 (pre-restore planes) and small (post-restore) modes."""
+    from phyngsc_tpu.models import dna
+    from phyngsc_tpu.pipeline import subblock as sb
+
+    if native.decode_tail(np.zeros(1, np.uint32), np.zeros(1, np.uint32),
+                          0, 2, 8, False, False, np.zeros(32, np.uint8),
+                          dna.AMB_CHAR) is None:
+        pytest.skip("native decode_tail unavailable")
+    rng = np.random.default_rng(12)
+    for w, qb, qual8 in ((2, 6, False), (3, 8, False), (5, 8, True),
+                         (4, 8, True)):
+        n = 4093
+        per_s, per_q = sb._OUT_PER[w], sb._OUT_PER[qb]
+        idx = rng.integers(0, 1 << w, size=n).astype(np.uint32)
+        if qual8:
+            q = np.concatenate([rng.integers(33, 97, size=n // 2),
+                                rng.integers(130, 250, size=n - n // 2)])
+            rng.shuffle(q)
+        else:
+            q = rng.integers(0, 1 << min(qb, 7), size=n)
+        q = q.astype(np.uint32)
+
+        def pack(vals, width, per):
+            pad = (-vals.size) % per
+            v = np.concatenate([vals, np.zeros(pad, np.uint32)])
+            sh = (32 - width * (np.arange(per) + 1)).astype(np.uint32)
+            return np.bitwise_or.reduce(
+                v.reshape(-1, per) << sh[None, :], axis=1)
+
+        sw = pack(idx, w, per_s)
+        qw = pack(q, qb, per_q)
+        alpha = np.zeros(32, np.uint8)
+        alpha[: 1 << w] = rng.integers(65, 90, size=1 << w)
+        plus33 = qb == 6
+        seq_n, qual_n = native.decode_tail(sw, qw, n, w, qb, plus33, qual8,
+                                           alpha, dna.AMB_CHAR)
+        # numpy reference
+        if qual8:
+            qt = q.astype(np.int16)
+            moved = qt >= 128
+            code = np.clip((qt - 112) >> 3, 0, 16)
+            seq_r = np.where(moved, dna.AMB_CHAR[code], alpha[idx])
+            qual_r = np.where(moved, (qt - 112 - (code << 3) + 33
+                                      ).astype(np.int16), qt)
+        else:
+            seq_r = alpha[idx]
+            qual_r = q + 33 if plus33 else q
+        np.testing.assert_array_equal(seq_n, seq_r.astype(np.uint8))
+        np.testing.assert_array_equal(qual_n, qual_r.astype(np.uint8))
