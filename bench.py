@@ -499,9 +499,14 @@ def main() -> int:
     modeled = {}
     try:
         cb, db = comp_budget or {}, dec_budget or {}
-        host_c = (cb.get("stage_a", 0) + cb.get("b.tables", 0)
-                  + cb.get("b.title", 0) + cb.get("b.encode_dispatch", 0)
-                  + cb.get("stage_b", 0) + cb.get("stage_c", 0))
+        # host lanes EXCLUDE wire waits: b.counts_fetch and c.fetch are
+        # device->host transfer stalls inside stage_b/stage_c (their PCIe
+        # cost is in the wire lane); the b.* sub-labels are already inside
+        # stage_b and must not be double-counted
+        host_c = (cb.get("stage_a", 0)
+                  + max(cb.get("stage_b", 0) - cb.get("b.counts_fetch", 0),
+                        0)
+                  + max(cb.get("stage_c", 0) - cb.get("c.fetch", 0), 0))
         wire_c = (c_h2d + c_d2h) / link if c_h2d is not None else 0.0
         lanes_c = {
             "host_s": round(host_c * core_scale, 3),

@@ -506,8 +506,12 @@ def stage_b(a: _StageA, cfg: CodecConfig, codec=None) -> _StageB:
 
 
 def stage_c(b: _StageB, cfg: CodecConfig) -> bytes:
+    import time as _t
+
     a = b.a
+    t0 = _t.perf_counter()
     blob = np.asarray(b.blob)  # the one stage-B fetch
+    _tick("c.fetch", t0)       # wire wait, not host work (bench models it)
     _acct("d2h_bytes", blob.nbytes)
     nqw, ndw, nqs, nds = b.blob_layout
     off = 0
