@@ -178,7 +178,7 @@ def _title_stage_mbps(data, cfg):
     bw = BitWriter()
     title.write_header(bw, enc)
     bw.flush()
-    plan2, _, _, sub2 = title.read_header(BitReader(bw.getvalue()), n)
+    plan2, _, _, _sub = title.read_header(BitReader(bw.getvalue()), n)
     sub_np = np.asarray(enc.char_sub_n_words)
     title.decode(plan2, enc.fixed_words, enc.char_words, sub_np, n, cfg)
     t0 = time.perf_counter()
