@@ -74,6 +74,47 @@ void phyngsc_gather(const uint8_t *buf, int64_t n, const int64_t *starts,
   }
 }
 
+// Fused per-record gather of the three stage-A planes — a record's title,
+// sequence and quality bytes are adjacent in the input, so one pass over
+// records beats three separate row gathers on cache traffic. Returns the
+// max quality byte (stage A's >= 128 validation, saving another plane
+// pass). Out rows are zero-padded to their widths.
+int32_t phyngsc_gather3(const uint8_t *buf, int64_t n,
+                        const int64_t *t_start, const int32_t *t_lens,
+                        int64_t TW, const int64_t *s_start,
+                        const int64_t *q_start, const int32_t *lens,
+                        int64_t W, int64_t R, uint8_t *titles, uint8_t *seq,
+                        uint8_t *qual) {
+  int32_t qmax = 0;
+#pragma omp parallel for schedule(static) reduction(max : qmax)
+  for (int64_t r = 0; r < R; ++r) {
+    int64_t tl = t_lens[r];
+    if (tl > TW) tl = TW;
+    int64_t ts = t_start[r];
+    if (ts < 0 || ts + tl > n) tl = 0;
+    uint8_t *td = titles + r * TW;
+    if (tl > 0) memcpy(td, buf + ts, (size_t)tl);
+    if (tl < TW) memset(td + tl, 0, (size_t)(TW - tl));
+    int64_t len = lens[r];
+    if (len > W) len = W;
+    int64_t ss = s_start[r], qs = q_start[r];
+    if (ss < 0 || ss + len > n || qs < 0 || qs + len > n) len = 0;
+    uint8_t *sd = seq + r * W;
+    uint8_t *qd = qual + r * W;
+    if (len > 0) {
+      memcpy(sd, buf + ss, (size_t)len);
+      memcpy(qd, buf + qs, (size_t)len);
+      for (int64_t i = 0; i < len; ++i)
+        if ((int32_t)qd[i] > qmax) qmax = qd[i];
+    }
+    if (len < W) {
+      memset(sd + len, 0, (size_t)(W - len));
+      memset(qd + len, 0, (size_t)(W - len));
+    }
+  }
+  return qmax;
+}
+
 namespace {
 
 // Single-tree length-limited Huffman (sort + two-queue merge + Kraft repair).

@@ -188,17 +188,32 @@ def stage_a(buf: np.ndarray, idx: RecordIndex, cfg: CodecConfig,
 
         raise FastqFormatError(
             f"read length {Lt} exceeds the container's 65535 limit")
-    seq_np = _gather_matrix(buf, idx.seq_start, lens_np.astype(np.int64), L)
-    qual_np = _gather_matrix(buf, idx.qual_start, lens_np.astype(np.int64), L)
-    if R and int(qual_np.max()) >= 128:
+    tlens_np = st.tlens_np = (idx.title_end - idx.title_start).astype(np.int32)
+    TL = int(tlens_np.max()) if R else 1
+    from phyngsc_tpu.utils import native as _native
+
+    # one fused pass over records gathers all three planes (each record's
+    # title/seq/qual bytes are adjacent in the input) and tracks the max
+    # quality byte for the >= 128 validation below
+    g3 = (_native.gather3(buf, idx.title_start, tlens_np, TL,
+                          idx.seq_start, idx.qual_start, lens_np, L)
+          if R else None)
+    if g3 is not None:
+        st.titles_np, seq_np, qual_np, qmax = g3
+    else:
+        seq_np = _gather_matrix(buf, idx.seq_start,
+                                lens_np.astype(np.int64), L)
+        qual_np = _gather_matrix(buf, idx.qual_start,
+                                 lens_np.astype(np.int64), L)
+        st.titles_np = _gather_matrix(buf, idx.title_start,
+                                      tlens_np.astype(np.int64), TL)
+        qmax = int(qual_np.max()) if R else 0
+    if R and qmax >= 128:
         from phyngsc_tpu.utils.fastq import FastqFormatError
 
         raise FastqFormatError(
             "quality byte >= 128 in input: outside printable phred+33 and "
             "reserved for the ambiguity transfer (phyNGSC.cpp:579 encoding)")
-    tlens_np = st.tlens_np = (idx.title_end - idx.title_start).astype(np.int32)
-    TL = int(tlens_np.max()) if R else 1
-    st.titles_np = _gather_matrix(buf, idx.title_start, tlens_np.astype(np.int64), TL)
 
     if Rp != R:
         pad = Rp - R

@@ -133,6 +133,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p,
         ]
+    if hasattr(lib, "phyngsc_gather3"):
+        lib.phyngsc_gather3.restype = ctypes.c_int32
+        lib.phyngsc_gather3.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, i64p, i64p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
     if hasattr(lib, "phyngsc_decode_tail"):
         lib.phyngsc_decode_tail.restype = None
         lib.phyngsc_decode_tail.argtypes = [
@@ -268,6 +276,33 @@ def pack_fixed(src: np.ndarray, w: int, transform: int = 0):
     lib.phyngsc_pack_fixed(src.ctypes.data, src.size, w, transform,
                            out.ctypes.data)
     return out
+
+
+def gather3(buf: np.ndarray, t_start: np.ndarray, t_lens: np.ndarray,
+            TW: int, s_start: np.ndarray, q_start: np.ndarray,
+            lens: np.ndarray, W: int):
+    """Fused title/seq/qual row gather (one pass over records) + max qual
+    byte. Returns (titles, seq, qual, qmax) or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "phyngsc_gather3"):
+        return None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    R = t_start.shape[0]
+    t_start = np.ascontiguousarray(t_start, np.int64)
+    s_start = np.ascontiguousarray(s_start, np.int64)
+    q_start = np.ascontiguousarray(q_start, np.int64)
+    t_lens = np.ascontiguousarray(t_lens, np.int32)
+    lens = np.ascontiguousarray(lens, np.int32)
+    titles = np.empty((R, max(TW, 1)), np.uint8)
+    seq = np.empty((R, max(W, 1)), np.uint8)
+    qual = np.empty((R, max(W, 1)), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    qmax = lib.phyngsc_gather3(
+        buf.ctypes.data, buf.shape[0], _i64p(t_start),
+        t_lens.ctypes.data_as(i32p), max(TW, 1), _i64p(s_start),
+        _i64p(q_start), lens.ctypes.data_as(i32p), max(W, 1), R,
+        titles.ctypes.data, seq.ctypes.data, qual.ctypes.data)
+    return titles, seq, qual, int(qmax)
 
 
 def decode_tail(sw: np.ndarray, qw: np.ndarray, n: int, w: int,

@@ -338,3 +338,29 @@ def test_decode_tail_matches_numpy():
             qual_r = q + 33 if plus33 else q
         np.testing.assert_array_equal(seq_n, seq_r.astype(np.uint8))
         np.testing.assert_array_equal(qual_n, qual_r.astype(np.uint8))
+
+
+def test_gather3_matches_separate_gathers():
+    """phyngsc_gather3 == three _gather_matrix calls + the qual max."""
+    from phyngsc_tpu.pipeline.subblock import _gather_matrix
+    from phyngsc_tpu.utils.fastq import index_records, synthesize_fastq
+
+    data = synthesize_fastq(500, read_len=36, seed=6, variable_length=True)
+    buf = np.frombuffer(data, np.uint8)
+    idx = index_records(buf)
+    lens = idx.seq_len.astype(np.int32)
+    tlens = (idx.title_end - idx.title_start).astype(np.int32)
+    TL, L = int(tlens.max()), int(lens.max())
+    g3 = native.gather3(buf, idx.title_start, tlens, TL,
+                        idx.seq_start, idx.qual_start, lens, L)
+    if g3 is None:
+        pytest.skip("native gather3 unavailable")
+    titles, seq, qual, qmax = g3
+    np.testing.assert_array_equal(
+        titles, _gather_matrix(buf, idx.title_start,
+                               tlens.astype(np.int64), TL))
+    np.testing.assert_array_equal(
+        seq, _gather_matrix(buf, idx.seq_start, lens.astype(np.int64), L))
+    ref_q = _gather_matrix(buf, idx.qual_start, lens.astype(np.int64), L)
+    np.testing.assert_array_equal(qual, ref_q)
+    assert qmax == int(ref_q.max())
