@@ -241,7 +241,7 @@ def _cpu_scaling_proxy(mb: float):
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) \
             + os.pathsep + env.get("PYTHONPATH", "")
-        for n in (1, 2):
+        def run_once(n):
             with socket.socket() as s:
                 s.bind(("127.0.0.1", 0))
                 coord = f"127.0.0.1:{s.getsockname()[1]}"
@@ -275,8 +275,20 @@ def _cpu_scaling_proxy(mb: float):
             with open(os.path.join(td, f"b{n}.fastq"), "rb") as f:
                 if f.read() != rec:
                     return None
-            out[f"p{n}_compress_mbps"] = round(len(rec) / comp_s / 1e6, 2)
-            out[f"p{n}_decompress_mbps"] = round(len(rec) / dec_s / 1e6, 2)
+            return comp_s, dec_s
+
+        for n in (1, 2):
+            # best of 2: the 2-vCPU host's background noise (driver, kernel)
+            # otherwise lands on one configuration and skews the efficiency
+            best = None
+            for _ in range(2):
+                r = run_once(n)
+                if r is not None and (best is None or r[0] < best[0]):
+                    best = (r[0], min(r[1], best[1]) if best else r[1])
+            if best is None:
+                return None
+            out[f"p{n}_compress_mbps"] = round(len(rec) / best[0] / 1e6, 2)
+            out[f"p{n}_decompress_mbps"] = round(len(rec) / best[1] / 1e6, 2)
     out["compress_efficiency_pct"] = round(
         100 * out["p2_compress_mbps"] / (2 * out["p1_compress_mbps"]), 1)
     out["decompress_efficiency_pct"] = round(
