@@ -138,3 +138,15 @@ def test_export_chunk_cap_no_zero_length_chunks(monkeypatch):
     data = synthesize_fastq(2400, read_len=36, seed=17)
     blob = ngsc_export.export_ngsc(data, records_per_subblock=30)
     assert ngsc_import.decompress_ngsc(blob) == data
+
+
+@pytest.mark.parametrize("read_len", [300, 1000])
+def test_export_long_reads(read_len):
+    """Reference-format interop at long reads: the reference allocates one
+    quality tree per position unconditionally (tasks.cpp:590-605), so the
+    exporter must emit max_quality_length+1 trees and the importer must
+    walk them all."""
+    data = synthesize_fastq(120, read_len=read_len, seed=13,
+                            ambiguity_rate=0.003)
+    blob = ngsc_export.export_ngsc(data, records_per_subblock=50)
+    assert ngsc_import.decompress_ngsc(blob) == data
